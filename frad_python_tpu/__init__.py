@@ -1,0 +1,43 @@
+"""frad_python_tpu — TPU-native FrAD (Fourier Analogue-in-Digital) engine.
+
+A from-scratch JAX/XLA/Pallas implementation of the FrAD archival
+streaming audio codec with full capability parity to the reference
+Python implementation (H4n-uL/FrAD_Python), re-architected TPU-first:
+
+* batched tensor pipeline (DCT / masking / quantisation) on the MXU
+* vectorised byte-domain kernels + C++ native module on the host
+* `parallel/` shards frame batches over a `jax.sharding.Mesh` with
+  ICI halo exchange for overlap state
+
+Public API mirrors the reference `libfrad` package
+(src/libfrad/__init__.py): Encoder/Decoder/Repairer engines, ASFH,
+head builder/parser, profile tables, and PCM format helpers.
+"""
+
+from __future__ import annotations
+
+import os
+
+# f64 is the codec's native sample type (the container stores up to 64-bit
+# floats); enable x64 before any jax arrays are created. Opt out with
+# FRAD_TPU_NO_X64=1 (compute cores then run in f32).
+if not os.environ.get("FRAD_TPU_NO_X64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+from .container import head  # noqa: E402
+from .container.asfh import ASFH  # noqa: E402
+from .decoder import DecodeResult, Decoder  # noqa: E402
+from .encoder import EncodeResult, Encoder  # noqa: E402
+from .models import AVAILABLE, BIT_DEPTHS, COMPACT, LOSSLESS, SEGMAX, profiles  # noqa: E402
+from .ops.pcm import ff_format_to_numpy_type, from_f64, to_f64  # noqa: E402
+from .repairer import Repairer  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ASFH", "AVAILABLE", "BIT_DEPTHS", "COMPACT", "DecodeResult", "Decoder",
+    "EncodeResult", "Encoder", "LOSSLESS", "Repairer", "SEGMAX",
+    "ff_format_to_numpy_type", "from_f64", "head", "profiles", "to_f64",
+]

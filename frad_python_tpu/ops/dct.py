@@ -1,0 +1,115 @@
+"""Batched DCT-II / inverse DCT with scipy `norm='forward'` semantics.
+
+The reference transforms each channel with `scipy.fft.dct(x, norm='forward')`
+/ `scipy.fft.idct(..., norm='forward')` in a per-channel Python loop
+(src/libfrad/fourier/profile0.py:21,69, profile1.py:21,77). Here the
+transform is TPU-native and batched over [..., N]:
+
+* **Matmul path** (default for N <= 4096): the DCT is a single
+  [batch, N] @ [N, N] matmul — this rides the MXU systolic array and is
+  the speed-of-light formulation for FrAD's frame sizes (128..4096).
+  Matrices are cached per (N, dtype).
+* **FFT path** (large N): Makhoul's N-point algorithm — even/odd
+  reordering + complex FFT + twiddle — O(N log N), used for frame sizes
+  where an NxN matrix would blow VMEM/HBM (N > 4096). float32/float64 on
+  CPU; float32 on TPU (XLA:TPU has no f64 FFT).
+
+Normalisation (scipy 'forward'):
+  forward:  X[k] = (1/N) * sum_t x[t] cos(pi k (2t+1) / (2N))
+  inverse:  x[t] = X[0] + 2 * sum_{k>=1} X[k] cos(pi k (2t+1) / (2N))
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Largest N for which the NxN matmul formulation is used. 4096^2 f32 = 64 MiB
+# per matrix: fits HBM comfortably, streams through the MXU.
+MATMUL_MAX_N = 4096
+
+
+@functools.lru_cache(maxsize=64)
+def _dct_matrices(n: int, dtype_name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(forward, inverse) DCT matrices. forward: X = x @ F; inverse: x = X @ G.
+
+    Returned as host numpy arrays (cached); they become baked-in jit
+    constants so the same matrix is materialised once per compiled shape.
+    """
+    # Build in float64 on host for accuracy, then cast.
+    k = np.arange(n, dtype=np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[None, :]
+    cos = np.cos(np.pi * k * (2.0 * t + 1.0) / (2.0 * n))
+    fwd = (cos / n).T  # [t, k] so that x @ fwd -> X
+    w = np.full((n, 1), 2.0)
+    w[0, 0] = 1.0
+    inv = w * cos  # [k, t] so that X @ inv -> x
+    dt = np.dtype(dtype_name)
+    return np.ascontiguousarray(fwd, dtype=dt), np.ascontiguousarray(inv, dtype=dt)
+
+
+def _fft_dct2(x: jax.Array) -> jax.Array:
+    """Unnormalised DCT-II (factor-2 convention) of the last axis via FFT."""
+    n = x.shape[-1]
+    v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
+    big = jnp.fft.fft(v, axis=-1)
+    k = jnp.arange(n)
+    tw = jnp.exp(-1j * jnp.pi * k / (2.0 * n))
+    return 2.0 * jnp.real(big * tw).astype(x.dtype)
+
+
+def _fft_idct2(yu: jax.Array) -> jax.Array:
+    """Exact inverse of `_fft_dct2` (input: unnormalised DCT-II coeffs).
+
+    Derivation: forward gives X[k] = 2 Re W[k] and X[N-k] = -2 Im W[k]
+    where W[k] = e^{-i pi k/(2N)} FFT(reorder(x))[k]; so
+    W = (X - i X_rev)/2, V = e^{+i pi k/(2N)} W, x = unreorder(ifft(V)).
+    """
+    n = yu.shape[-1]
+    y_rev = jnp.concatenate([jnp.zeros_like(yu[..., :1]), yu[..., :0:-1]], axis=-1)
+    k = jnp.arange(n)
+    tw = jnp.exp(1j * jnp.pi * k / (2.0 * n))
+    big = 0.5 * (yu - 1j * y_rev) * tw
+    v = jnp.real(jnp.fft.ifft(big, axis=-1)).astype(yu.dtype)
+    half = (n + 1) // 2
+    x = jnp.zeros_like(yu)
+    x = x.at[..., ::2].set(v[..., :half])
+    x = x.at[..., 1::2].set(v[..., half:][..., ::-1])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("use_matmul",))
+def _dct2_impl(x: jax.Array, use_matmul: bool) -> jax.Array:
+    n = x.shape[-1]
+    if use_matmul:
+        fwd, _ = _dct_matrices(n, str(x.dtype))
+        return jnp.matmul(x, fwd, precision=jax.lax.Precision.HIGHEST)
+    return _fft_dct2(x) / (2.0 * n)
+
+
+@functools.partial(jax.jit, static_argnames=("use_matmul",))
+def _idct2_impl(y: jax.Array, use_matmul: bool) -> jax.Array:
+    n = y.shape[-1]
+    if use_matmul:
+        _, inv = _dct_matrices(n, str(y.dtype))
+        return jnp.matmul(y, inv, precision=jax.lax.Precision.HIGHEST)
+    return _fft_idct2(y * (2.0 * n))
+
+
+def dct2_forward(x, axis: int = -1):
+    """DCT-II with scipy norm='forward' over `axis`. Accepts np/jnp arrays."""
+    x = jnp.asarray(x)
+    x = jnp.moveaxis(x, axis, -1)
+    out = _dct2_impl(x, x.shape[-1] <= MATMUL_MAX_N)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def idct2_forward(y, axis: int = -1):
+    """Inverse DCT (scipy idct type-2, norm='forward') over `axis`."""
+    y = jnp.asarray(y)
+    y = jnp.moveaxis(y, axis, -1)
+    out = _idct2_impl(y, y.shape[-1] <= MATMUL_MAX_N)
+    return jnp.moveaxis(out, -1, axis)

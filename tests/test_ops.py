@@ -1,0 +1,264 @@
+"""Op-level kernels: DCT vs scipy, packing oracles, EGR codec, RS codec,
+PCM conversion, psychoacoustics vs straightforward oracles."""
+
+import numpy as np
+import pytest
+from scipy.fft import dct as sdct, idct as sidct
+
+from frad_python_tpu.ops import golomb, packing, pcm, psycho, rs, window
+from frad_python_tpu.ops.dct import dct2_forward, idct2_forward
+
+rng = np.random.default_rng(1234)
+
+
+class TestDCT:
+    @pytest.mark.parametrize("n", [128, 960, 2048, 4096, 5120])
+    def test_forward_matches_scipy(self, n):
+        x = rng.standard_normal((4, n))
+        ref = sdct(x, norm="forward", axis=-1)
+        got = np.asarray(dct2_forward(x))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+    @pytest.mark.parametrize("n", [128, 2048, 5120])
+    def test_inverse_matches_scipy(self, n):
+        y = rng.standard_normal((3, n))
+        ref = sidct(y, norm="forward", axis=-1)
+        got = np.asarray(idct2_forward(y))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_roundtrip_f64(self):
+        x = rng.standard_normal((2, 2048))
+        back = np.asarray(idct2_forward(dct2_forward(x)))
+        np.testing.assert_allclose(back, x, atol=1e-12)
+
+    def test_axis0_2d(self):
+        x = rng.standard_normal((2048, 2))
+        ref = sdct(x, norm="forward", axis=0)
+        got = np.asarray(dct2_forward(x, axis=0))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def oracle_pack(values: np.ndarray, bits: int, little_endian: bool) -> bytes:
+    """Independent slow oracle following the FrAD packing spec."""
+    container = {12: "f2", 16: "f2", 24: "f4", 32: "f4", 48: "f8", 64: "f8"}[bits]
+    endian = "<" if (little_endian and bits % 8 == 0) else ">"
+    raw = values.astype(endian + container).tobytes()
+    if bits in (16, 32, 64):
+        return raw
+    if bits in (24, 48):
+        group, keep = bits // 6, bits // 8
+        chunks = []
+        for i in range(0, len(raw), group):
+            g = raw[i:i + group]
+            chunks.append(g[:keep] if endian == ">" else g[group - keep:])
+        return b"".join(chunks)
+    # 12-bit via hex strings
+    hexa = raw.hex()
+    hexa = "".join(hexa[i:i + 3] for i in range(0, len(hexa), 4))
+    if len(hexa) % 2:
+        hexa += "0"
+    return bytes.fromhex(hexa)
+
+
+class TestPacking:
+    @pytest.mark.parametrize("bits", [12, 16, 24, 32, 48, 64])
+    @pytest.mark.parametrize("le", [False, True])
+    def test_matches_oracle(self, bits, le):
+        vals = rng.standard_normal(257)
+        assert packing.pack_floats(vals, bits, le) == oracle_pack(vals, bits, le)
+
+    @pytest.mark.parametrize("bits", [12, 16, 24, 32, 48, 64])
+    @pytest.mark.parametrize("le", [False, True])
+    def test_roundtrip_precision(self, bits, le):
+        vals = rng.standard_normal(256)
+        got = packing.unpack_floats(packing.pack_floats(vals, bits, le), bits, le)
+        assert len(got) == 256
+        if bits == 64:
+            np.testing.assert_array_equal(got, vals)
+        else:
+            tol = {12: 3e-2, 16: 2e-3, 24: 3e-5, 32: 2e-7, 48: 1e-11}[bits]
+            np.testing.assert_allclose(got, vals, atol=tol, rtol=tol)
+
+    def test_nan_inf_scrubbed(self):
+        vals = np.array([1.0, np.nan, np.inf, -np.inf, 2.0])
+        got = packing.unpack_floats(packing.pack_floats(vals, 64, False), 64, False)
+        np.testing.assert_array_equal(got, [1.0, 0.0, 0.0, 0.0, 2.0])
+
+    def test_depth_escalation(self):
+        assert packing.needed_depth(1e5, 12) == 24          # f16 max ~65504
+        assert packing.needed_depth(1e39, 16) == 48          # > f32 max
+        assert packing.needed_depth(1.0, 12) == 12
+        with pytest.raises(OverflowError):
+            packing.needed_depth(np.inf, 64)
+
+
+def oracle_egr_encode(data) -> bytes:
+    """Independent bit-string oracle for the EGR stream format."""
+    import struct
+    data = np.asarray(data)
+    if not data.size:
+        return b"\x00"
+    dmax = np.abs(data).max()
+    k = int(np.ceil(np.log2(dmax))) if dmax else 0
+    enc = ""
+    for n in (int(v) for v in data):
+        m = ((n << 1) - 1) if n > 0 else (-n << 1)
+        code = bin(m + (1 << k))[2:]
+        enc += "0" * (len(code) - k - 1) + code
+    by = bytes(int(enc[i:i + 8].ljust(8, "0"), 2) for i in range(0, len(enc), 8))
+    return struct.pack("B", k) + by
+
+
+class TestGolomb:
+    @pytest.mark.parametrize("data", [
+        [0], [1], [-1], [0, 0, 0], [5, -3, 2, 0, -1],
+        list(range(-40, 40)), [1023, -1024, 512],
+    ])
+    def test_matches_oracle(self, data):
+        arr = np.asarray(data, dtype=np.int64)
+        assert golomb.encode(arr) == oracle_egr_encode(arr)
+
+    def test_empty(self):
+        assert golomb.encode(np.array([], dtype=np.int64)) == b"\x00"
+        assert golomb.decode(b"\x00").size == 0
+
+    @pytest.mark.parametrize("scale", [1, 10, 1000, 100000])
+    def test_roundtrip_random(self, scale):
+        data = (rng.standard_normal(4096) * scale).astype(np.int64)
+        dec = golomb.decode(golomb.encode(data))
+        np.testing.assert_array_equal(dec, data)
+
+    def test_roundtrip_large_dynamic_range(self):
+        data = np.array([0, 1, -1, 2**30, -(2**30), 7, -7], dtype=np.int64)
+        np.testing.assert_array_equal(golomb.decode(golomb.encode(data)), data)
+
+
+class TestRS:
+    def test_parity_roots(self):
+        data = rng.integers(0, 256, size=(10, 96), dtype=np.uint8)
+        par = rs.encode_blocks(data, 24)
+        cw = np.concatenate([data, par], axis=1)
+        assert not rs.syndromes_blocks(cw, 24).any()
+
+    def test_repair_up_to_t(self):
+        data = rng.integers(0, 256, size=(20, 96), dtype=np.uint8)
+        par = rs.encode_blocks(data, 24)
+        cw = np.concatenate([data, par], axis=1)
+        for b in range(20):
+            nerr = int(rng.integers(1, 13))
+            posn = rng.choice(120, size=nerr, replace=False)
+            cw[b, posn] ^= rng.integers(1, 256, size=nerr, dtype=np.uint8)
+        fixed, ok = rs.decode_blocks(cw, 24)
+        assert ok.all()
+        np.testing.assert_array_equal(fixed, data)
+
+    def test_uncorrectable_zero_fill(self):
+        data = rng.integers(0, 256, size=(2, 96), dtype=np.uint8)
+        par = rs.encode_blocks(data, 24)
+        cw = np.concatenate([data, par], axis=1)
+        cw[0, :40] ^= 0xFF
+        fixed, ok = rs.decode_blocks(cw, 24)
+        assert not ok[0] and not fixed[0].any()
+        assert ok[1] and np.array_equal(fixed[1], data[1])
+
+
+class TestPCM:
+    @pytest.mark.parametrize("fmt", ["u8", "s8", "s16be", "s16le", "s32le",
+                                     "u16be", "u32le", "f16be", "f32le", "f64be", "s64le", "u64be", "f64le"])
+    def test_roundtrip(self, fmt):
+        dt = pcm.ff_format_to_numpy_type(fmt)
+        x = np.clip(rng.standard_normal(128) * 0.5, -0.999, 0.999)
+        stored = pcm.from_f64(x, dt)
+        back = pcm.to_f64(stored.astype(dt), dt)
+        tol = {1: 2e-2, 2: 2e-3, 4: 2e-7, 8: 1e-9}[dt.itemsize]
+        np.testing.assert_allclose(back, x, atol=tol)
+
+    def test_invalid_format(self):
+        with pytest.raises(ValueError):
+            pcm.ff_format_to_numpy_type("q7le")
+
+
+def oracle_mask(freqs, srate, loss_level, alpha=0.8):
+    """Straightforward per-band oracle for masking thresholds."""
+    E = psycho.MODIFIED_OPUS_SUBBANDS
+    freqs = np.abs(freqs)
+    out = np.zeros(psycho.SUBBANDS)
+    n = len(freqs)
+    for i in range(psycho.SUBBANDS):
+        lo = round(n / (srate / 2) * E[i])
+        hi = round(n / (srate / 2) * E[i + 1])
+        sub = freqs[lo:hi]
+        if len(sub) == 0:
+            break
+        f = (E[i] + E[i + 1]) / 2
+        with np.errstate(over="ignore"):
+            aht = 10.0 ** ((3.64 * (f / 1000) ** -0.8
+                            - 6.5 * np.exp(-0.6 * (f / 1000 - 3.3) ** 2)
+                            + 1e-3 * (f / 1000) ** 4) / 20)
+        sfq = np.sqrt(np.mean(sub ** 2)) ** alpha
+        out[i] = max(sfq, min(aht, 1.0)) * loss_level
+    return out
+
+
+def oracle_mapping(thres, n, srate):
+    E = psycho.MODIFIED_OPUS_SUBBANDS
+    out = np.zeros(n)
+    for i in range(psycho.SUBBANDS - 1):
+        start = min(round(n / (srate / 2) * E[i]), n)
+        end = min(round(n / (srate / 2) * E[i + 1]), n)
+        out[start:end] = np.linspace(thres[i], thres[i + 1], end - start, endpoint=False)
+    return out
+
+
+class TestPsycho:
+    @pytest.mark.parametrize("srate,n", [(48000, 2048), (96000, 128),
+                                         (44100, 1024), (8000, 2048)])
+    def test_mask_matches_oracle(self, srate, n):
+        x = rng.standard_normal(n) * 1000
+        got = psycho.mask_thres_mos(x, srate, 0.5)
+        want = oracle_mask(x, srate, 0.5)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    @pytest.mark.parametrize("srate,n", [(48000, 2048), (96000, 128), (44100, 1024)])
+    def test_mapping_matches_oracle(self, srate, n):
+        thres = np.abs(rng.standard_normal(psycho.SUBBANDS)) * 10
+        got = psycho.mapping_from_opus(thres, n, srate)
+        want = oracle_mapping(thres, n, srate)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300)
+
+    def test_batched_mask(self):
+        x = rng.standard_normal((3, 2048))
+        got = psycho.mask_thres_mos(x, 48000, 0.5)
+        for c in range(3):
+            np.testing.assert_allclose(got[c], oracle_mask(x[c], 48000, 0.5), rtol=1e-12)
+
+    def test_quant_dequant(self):
+        x = rng.standard_normal(100) * 50
+        np.testing.assert_allclose(psycho.dequant(psycho.quant(x)), x, rtol=1e-9, atol=1e-12)
+
+
+class TestWindow:
+    def test_hann_formula(self):
+        w = window.hanning_in_overlap(5)
+        want = 0.5 * (1 - np.cos(np.pi * np.arange(1, 6) / 6))
+        np.testing.assert_allclose(w, want)
+
+    def test_crossfade_full(self):
+        frame = np.ones((8, 2))
+        frag = np.full((4, 2), 2.0)
+        out, consumed = window.crossfade(frame, frag, 0)
+        assert consumed == 4
+        w = window.hanning_in_overlap(4)
+        for i in range(4):
+            np.testing.assert_allclose(out[i], 1 * w[i] + 2 * w[4 - i - 1])
+        np.testing.assert_array_equal(out[4:], frame[4:])
+
+    def test_crossfade_partial_progress(self):
+        frame = np.ones((2, 1))
+        frag = np.arange(6, dtype=float).reshape(6, 1)
+        out1, c1 = window.crossfade(frame, frag, 0)
+        assert c1 == 2
+        out2, c2 = window.crossfade(frame, frag, 2)
+        assert c2 == 2
+        w = window.hanning_in_overlap(6)
+        np.testing.assert_allclose(out2[0, 0], 1 * w[2] + frag[2, 0] * w[3])
