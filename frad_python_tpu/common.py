@@ -42,15 +42,18 @@ def crc16_ansi(data: bytes | bytearray | memoryview | np.ndarray) -> int:
     """CRC-16/ANSI (aka CRC-16/ARC): poly 0xA001 reflected, init 0, xorout 0.
 
     Matches the reference implementation bit-for-bit
-    (src/libfrad/common.py:4-10). When the native extension is loaded
-    (frad_python_tpu.native), this is transparently replaced by the C++
-    implementation; this is the pure-Python fallback.
+    (src/libfrad/common.py:4-10). Dispatches to the C++ native module
+    when built; table-driven Python loop otherwise.
     """
     if isinstance(data, np.ndarray):
         data = data.tobytes()
+    data = bytes(data)
+    from . import native
+    if native.available():
+        return native.crc16_ansi(data)
     tbl = _CRC16_TABLE_LIST
     crc = 0
-    for b in bytes(data):
+    for b in data:
         crc = (crc >> 8) ^ tbl[(crc ^ b) & 0xFF]
     return crc
 

@@ -1,0 +1,337 @@
+// frad_native — C++ fast paths for FrAD's byte-serial host kernels.
+//
+// The TPU tensor domain (DCT/masking/quant) lives in JAX/Pallas; these are
+// the inherently bit/byte-serial stages that the reference implements as
+// Python bit-strings and per-chunk loops (reference p1tools.py:49-74,
+// ecc.py:6-25, common.py:4-10). Exposed via a plain C ABI for ctypes.
+//
+// Build: python -m frad_python_tpu.native.build   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstddef>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC-16/ANSI (poly 0xA001 reflected, init 0) — matches reference common.py
+// ---------------------------------------------------------------------------
+static uint16_t crc16_table[256];
+static bool crc16_init_done = false;
+
+static void crc16_init() {
+    for (int i = 0; i < 256; i++) {
+        uint16_t c = (uint16_t)i;
+        for (int j = 0; j < 8; j++)
+            c = (c & 1) ? (uint16_t)((c >> 1) ^ 0xA001) : (uint16_t)(c >> 1);
+        crc16_table[i] = c;
+    }
+    crc16_init_done = true;
+}
+
+uint16_t frad_crc16_ansi(const uint8_t* data, size_t n) {
+    if (!crc16_init_done) crc16_init();
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; i++)
+        crc = (uint16_t)((crc >> 8) ^ crc16_table[(crc ^ data[i]) & 0xFF]);
+    return crc;
+}
+
+// ---------------------------------------------------------------------------
+// Exp-Golomb-Rice stream codec — wire format per reference p1tools.py:49-74
+// ---------------------------------------------------------------------------
+static inline int bit_width_u64(uint64_t v) {
+    return v ? 64 - __builtin_clzll(v) : 0;
+}
+
+struct BitWriter {
+    uint8_t* out;
+    size_t byte_pos;
+    uint64_t acc;
+    int acc_bits;
+};
+
+static inline void bw_put(BitWriter* w, uint64_t value, int nbits) {
+    // nbits <= 57 guaranteed by caller splitting; general path for <= 64
+    while (nbits > 0) {
+        int space = 64 - w->acc_bits;
+        int take = nbits < space ? nbits : space;
+        uint64_t seg = (nbits == 64 && take == 64)
+            ? value
+            : (value >> (nbits - take)) & ((take == 64) ? ~0ull : ((1ull << take) - 1));
+        w->acc = (w->acc << take) | seg;
+        w->acc_bits += take;
+        nbits -= take;
+        if (w->acc_bits == 64) {
+            for (int b = 0; b < 8; b++)
+                w->out[w->byte_pos + b] = (uint8_t)(w->acc >> (56 - 8 * b));
+            w->byte_pos += 8;
+            w->acc = 0;
+            w->acc_bits = 0;
+        }
+    }
+}
+
+static inline void bw_flush(BitWriter* w) {
+    while (w->acc_bits > 0) {
+        int shift = w->acc_bits - 8;
+        uint8_t byte = shift >= 0 ? (uint8_t)(w->acc >> shift)
+                                  : (uint8_t)(w->acc << -shift);
+        w->out[w->byte_pos++] = byte;
+        w->acc_bits -= 8;
+    }
+    w->acc = 0;
+    w->acc_bits = 0;
+}
+
+// Returns bytes written (including the k header byte). `out` must hold at
+// least 1 + (17*n + 8) bytes (worst case 130-bit codes).
+size_t frad_egr_encode(const int64_t* data, size_t n, uint8_t* out) {
+    if (n == 0) { out[0] = 0; return 1; }
+
+    uint64_t dmax = 0;
+    for (size_t i = 0; i < n; i++) {
+        uint64_t a = (uint64_t)(data[i] < 0 ? -data[i] : data[i]);
+        if (a > dmax) dmax = a;
+    }
+    int k = dmax ? bit_width_u64(dmax - 1) : 0;   // == ceil(log2(dmax)), 0 for dmax<=1
+    out[0] = (uint8_t)k;
+
+    BitWriter w = {out, 1, 0, 0};
+    const uint64_t base = 1ull << k;
+
+    for (size_t i = 0; i < n; i++) {
+        int64_t x = data[i];
+        uint64_t mapped = x > 0 ? (uint64_t)((x << 1) - 1) : (uint64_t)((-x) << 1);
+        uint64_t v = mapped + base;
+        int blen = bit_width_u64(v);
+        int zeros = blen - k - 1;                  // unary prefix length
+        if (zeros > 0) bw_put(&w, 0, zeros);
+        bw_put(&w, v, blen);
+    }
+    bw_flush(&w);
+    return w.byte_pos;
+}
+
+// Returns number of decoded symbols. `out` must hold 8*(nbytes-1) entries.
+size_t frad_egr_decode(const uint8_t* bytes, size_t nbytes, int64_t* out) {
+    if (nbytes < 1) return 0;
+    int k = bytes[0];
+    const uint8_t* p = bytes + 1;
+    size_t nbits = (nbytes - 1) * 8;
+    size_t count = 0;
+
+    size_t pos = 0;
+    while (pos < nbits) {
+        // unary scan for the terminator '1'
+        size_t scan = pos;
+        while (scan < nbits && !((p[scan >> 3] >> (7 - (scan & 7))) & 1))
+            scan++;
+        if (scan >= nbits) break;                  // trailing zero padding
+        size_t m = scan - pos;
+        size_t code_len = 2 * m + (size_t)k + 1;
+        size_t end = pos + code_len;
+        if (end > nbits) end = nbits;              // tolerate truncation
+        uint64_t v = 0;
+        for (size_t b = pos; b < end; b++)
+            v = (v << 1) | ((p[b >> 3] >> (7 - (b & 7))) & 1);
+        int64_t nval = (int64_t)v - (int64_t)(1ull << k);
+        out[count++] = (nval & 1) ? ((nval + 1) >> 1) : -(nval >> 1);
+        pos += code_len;
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// Reed-Solomon GF(2^8), prim 0x11D, generator 2, fcr 0 — reedsolo wire compat
+// ---------------------------------------------------------------------------
+static uint8_t gf_exp[512];
+static int16_t gf_log[256];
+static bool gf_init_done = false;
+
+static void gf_init() {
+    int x = 1;
+    for (int i = 0; i < 255; i++) {
+        gf_exp[i] = (uint8_t)x;
+        gf_log[x] = (int16_t)i;
+        x <<= 1;
+        if (x & 0x100) x ^= 0x11D;
+    }
+    for (int i = 255; i < 510; i++) gf_exp[i] = gf_exp[i - 255];
+    gf_log[0] = 0;
+    gf_init_done = true;
+}
+
+static inline uint8_t gmul(uint8_t a, uint8_t b) {
+    if (!a || !b) return 0;
+    return gf_exp[gf_log[a] + gf_log[b]];
+}
+static inline uint8_t gdiv(uint8_t a, uint8_t b) {
+    if (!a) return 0;
+    return gf_exp[(gf_log[a] - gf_log[b] + 255) % 255];
+}
+static inline uint8_t gpow2(int n) {               // 2^n, n may be negative
+    int e = n % 255;
+    if (e < 0) e += 255;
+    return gf_exp[e];
+}
+
+// generator polynomial cache (high-first, degree nsym, nsym <= 255)
+static uint8_t gen_cache[256][256];
+static bool gen_have[256];
+
+static const uint8_t* gen_poly(int nsym) {
+    if (gen_have[nsym]) return gen_cache[nsym];
+    uint8_t g[257];
+    int glen = 1;
+    g[0] = 1;
+    for (int i = 0; i < nsym; i++) {
+        uint8_t root = gpow2(i);
+        uint8_t nxt[257];
+        memset(nxt, 0, glen + 1);
+        for (int j = 0; j < glen; j++) {
+            nxt[j] ^= g[j];
+            nxt[j + 1] ^= gmul(g[j], root);
+        }
+        glen++;
+        memcpy(g, nxt, glen);
+    }
+    memcpy(gen_cache[nsym], g, glen);
+    gen_have[nsym] = true;
+    return gen_cache[nsym];
+}
+
+void frad_rs_encode_blocks(const uint8_t* data, size_t nblocks, size_t dsize,
+                           size_t nsym, uint8_t* parity) {
+    if (!gf_init_done) gf_init();
+    const uint8_t* g = gen_poly((int)nsym);
+    for (size_t b = 0; b < nblocks; b++) {
+        const uint8_t* msg = data + b * dsize;
+        uint8_t* rem = parity + b * nsym;
+        memset(rem, 0, nsym);
+        for (size_t i = 0; i < dsize; i++) {
+            uint8_t fb = msg[i] ^ rem[0];
+            memmove(rem, rem + 1, nsym - 1);
+            rem[nsym - 1] = 0;
+            if (fb) {
+                int lf = gf_log[fb];
+                for (size_t j = 0; j < nsym; j++)
+                    if (g[j + 1]) rem[j] ^= gf_exp[lf + gf_log[g[j + 1]]];
+            }
+        }
+    }
+}
+
+// Berlekamp-Massey; returns locator degree (low-first in loc_out), -1 on fail.
+static int bm_locator(const uint8_t* synd, int nsym, uint8_t* loc_out) {
+    uint8_t err[260], old_[260];
+    int elen = 1, olen = 1;
+    err[0] = 1; old_[0] = 1;
+    for (int i = 0; i < nsym; i++) {
+        uint8_t delta = synd[i];
+        for (int j = 1; j < elen; j++)
+            delta ^= gmul(err[elen - 1 - j], synd[i - j]);
+        old_[olen++] = 0;
+        if (delta) {
+            if (olen > elen) {
+                uint8_t newl[260];
+                for (int j = 0; j < olen; j++) newl[j] = gmul(old_[j], delta);
+                int nlen = olen;
+                for (int j = 0; j < elen; j++) old_[j] = gdiv(err[j], delta);
+                olen = elen;
+                memcpy(err, newl, nlen);
+                elen = nlen;
+            }
+            // err += delta * old_  (high-first, right-aligned XOR)
+            uint8_t sum[260];
+            int n = elen > olen ? elen : olen;
+            memset(sum, 0, n);
+            for (int j = 0; j < elen; j++) sum[j + n - elen] ^= err[j];
+            for (int j = 0; j < olen; j++) sum[j + n - olen] ^= gmul(delta, old_[j]);
+            memcpy(err, sum, n);
+            elen = n;
+        }
+    }
+    int lead = 0;
+    while (lead < elen && err[lead] == 0) lead++;
+    int deg = elen - lead - 1;
+    if (deg < 0 || deg * 2 > nsym) return -1;
+    for (int j = 0; j <= deg; j++) loc_out[j] = err[elen - 1 - j];  // low-first
+    return deg;
+}
+
+static bool rs_synd(const uint8_t* c, size_t blen, size_t nsym, uint8_t* synd) {
+    bool clean = true;
+    for (size_t j = 0; j < nsym; j++) {
+        uint8_t s = 0;
+        uint8_t aj = gpow2((int)j);
+        for (size_t i = 0; i < blen; i++) s = gmul(s, aj) ^ c[i];
+        synd[j] = s;
+        if (s) clean = false;
+    }
+    return clean;
+}
+
+// Repairs codewords in place; ok[b]=1 if clean/corrected, 0 if zero-filled.
+void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
+                           size_t nsym, uint8_t* ok) {
+    if (!gf_init_done) gf_init();
+    for (size_t b = 0; b < nblocks; b++) {
+        uint8_t* c = cw + b * blen;
+        uint8_t synd[256];
+        if (rs_synd(c, blen, nsym, synd)) { ok[b] = 1; continue; }
+
+        bool fixed = false;
+        uint8_t loc[260];
+        int deg = bm_locator(synd, (int)nsym, loc);
+        if (deg > 0) {
+            int err_pos[256];
+            int nerr = 0;
+            for (size_t i = 0; i < blen && nerr <= deg; i++) {
+                uint8_t xinv = gpow2(-(int)(blen - 1 - i));
+                uint8_t val = 0;
+                for (int j = deg; j >= 0; j--) val = gmul(val, xinv) ^ loc[j];
+                if (val == 0) err_pos[nerr++] = (int)i;
+            }
+            if (nerr == deg) {
+                // Forney: omega = synd * loc mod x^nsym (low-first)
+                uint8_t omega[256];
+                memset(omega, 0, nsym);
+                for (size_t i = 0; i < nsym; i++) {
+                    if (!synd[i]) continue;
+                    for (int j = 0; j <= deg && i + (size_t)j < nsym; j++)
+                        omega[i + j] ^= gmul(synd[i], loc[j]);
+                }
+                bool good = true;
+                for (int e = 0; e < nerr && good; e++) {
+                    int posi = err_pos[e];
+                    uint8_t x = gpow2((int)(blen - 1 - posi));
+                    uint8_t xinv = gpow2(-(int)(blen - 1 - posi));
+                    uint8_t om = 0;
+                    for (int j = (int)nsym - 1; j >= 0; j--)
+                        om = gmul(om, xinv) ^ omega[j];
+                    uint8_t den = 0;
+                    for (int j = 1; j <= deg; j += 2) {
+                        uint8_t xp = 1;
+                        for (int q = 0; q < j - 1; q++) xp = gmul(xp, xinv);
+                        den ^= gmul(loc[j], xp);
+                    }
+                    if (!den) { good = false; break; }
+                    c[posi] ^= gmul(x, gdiv(om, den));
+                }
+                if (good) {
+                    uint8_t s2[256];
+                    fixed = rs_synd(c, blen, nsym, s2);
+                }
+            }
+        }
+        if (fixed) {
+            ok[b] = 1;
+        } else {
+            memset(c, 0, blen);
+            ok[b] = 0;
+        }
+    }
+}
+
+} // extern "C"

@@ -41,6 +41,9 @@ def encode(data: np.ndarray) -> bytes:
     if data.size == 0:
         return b"\x00"
     data = np.asarray(data, dtype=np.int64)
+    from .. import native
+    if native.available():
+        return native.egr_encode(data)
     k = _rice_k(data)
 
     # Signed mapping (p1tools.py:55): n>0 -> 2n-1, n<=0 -> -2n
@@ -68,6 +71,9 @@ def decode(dbytes: bytes) -> np.ndarray:
     """Decode an EGR byte stream -> flat int64 array."""
     if len(dbytes) < 1:
         return np.array([], dtype=np.int64)
+    from .. import native
+    if native.available():
+        return native.egr_decode(dbytes)
     k = dbytes[0]
     bits = np.unpackbits(np.frombuffer(dbytes, dtype=np.uint8, offset=1))
     nbits = len(bits)

@@ -83,6 +83,9 @@ def generator_poly(nsym: int) -> tuple[int, ...]:
 
 def encode_blocks(data: np.ndarray, nsym: int) -> np.ndarray:
     """[nblocks, dsize] uint8 -> [nblocks, nsym] parity, all blocks at once."""
+    from .. import native
+    if native.available():
+        return native.rs_encode_blocks(data, nsym)
     nblocks, dsize = data.shape
     g = generator_poly(nsym)
     g_log = np.array([_LOG[c] for c in g[1:]], dtype=np.int32)  # len nsym
@@ -208,6 +211,9 @@ def decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndar
     [nblocks]); uncorrectable blocks are returned zero-filled with
     ok=False (caller semantics per reference ecc.py:22).
     """
+    from .. import native
+    if native.available():
+        return native.rs_decode_blocks(codewords, nsym)
     nblocks, blen = codewords.shape
     synd = syndromes_blocks(codewords, nsym)
     bad = np.any(synd != 0, axis=1)
