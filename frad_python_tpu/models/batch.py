@@ -1,0 +1,152 @@
+"""Fused, batched TPU compute cores for the FrAD profiles.
+
+This is the tensor-domain heart of the framework: each core is a single
+jitted function over a frame batch [B, N, C] that XLA fuses into a few
+MXU matmuls (DCT, subband reduction) plus elementwise VPU work. The
+streaming engines call these with B=1; `parallel.batch_encode/decode`
+feed whole files; `parallel.sharded` pjits them over a device mesh.
+
+Reference mapping: profile0.py:21/69 (DCT), profile1.py:21-45 (DCT ->
+masking -> quant -> compand), executed there as per-channel scipy/numpy
+loops — here one traced graph, batched over frames AND channels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import psycho
+from ..ops.dct import _dct2_impl, _idct2_impl, MATMUL_MAX_N
+
+
+def _use_matmul(n: int) -> bool:
+    return n <= MATMUL_MAX_N
+
+
+# ---------------------------------------------------------------------------
+# Profile 0 cores: plain forward/inverse DCT over the frame axis
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=())
+def p0_encode_core(frames: jax.Array) -> jax.Array:
+    """[B, N, C] PCM -> [B, N, C] DCT-II 'forward' coefficients."""
+    x = jnp.swapaxes(frames, 1, 2)                 # [B, C, N]
+    y = _dct2_impl(x, _use_matmul(x.shape[-1]))
+    return jnp.swapaxes(y, 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def p0_decode_core(freqs: jax.Array) -> jax.Array:
+    """[B, N, C] coefficients -> [B, N, C] PCM."""
+    y = jnp.swapaxes(freqs, 1, 2)
+    x = _idct2_impl(y, _use_matmul(y.shape[-1]))
+    return jnp.swapaxes(x, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Profile 1 cores: DCT -> psychoacoustic masking -> power-law quantisation
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("srate",))
+def p1_encode_core(frames: jax.Array, srate: int, loss_level: jax.Array,
+                   factor: jax.Array):
+    """[B, N, C] PCM -> (freqs_q [B, N, C] int, thres_q [B, SUBBANDS, C] int).
+
+    Integer outputs feed the host EGR+DEFLATE stage; everything here is
+    one fused graph (reference profile1.py:21-40 chain).
+    """
+    n = frames.shape[1]
+    x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
+    freqs = _dct2_impl(x, _use_matmul(n))
+
+    thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
+    div = psycho.mapping_from_opus_jnp(thres, n, srate)
+    div = jnp.where(div == 0.0, jnp.inf, div)
+    masked = freqs / div
+
+    idt = (jnp.int64 if (frames.dtype == jnp.float64
+                         and jax.config.read("jax_enable_x64")) else jnp.int32)
+    freqs_q = jnp.rint(psycho.quant_jnp(masked * factor)).astype(idt)
+    log_base = jnp.log(jnp.asarray(np.e / 2.0, dtype=frames.dtype))
+    thres_q = jnp.rint(
+        psycho.dequant_jnp(jnp.log(jnp.clip(thres, min=1.0)) / log_base)
+    ).astype(idt)
+
+    return jnp.swapaxes(freqs_q, 1, 2), jnp.swapaxes(thres_q, 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def p1_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
+                   factor: jax.Array) -> jax.Array:
+    """([B, N, C] compand-domain floats, [B, SUBBANDS, C] threshold ints)
+    -> [B, N, C] PCM (reference profile1.py:66-77 chain)."""
+    n = freqs_flat.shape[1]
+    masked = jnp.swapaxes(freqs_flat, 1, 2)                    # [B, C, N]
+    thres_c = jnp.swapaxes(thres_flat, 1, 2)                   # [B, C, 27]
+
+    masked = psycho.dequant_jnp(masked) / factor
+    e_half = jnp.asarray(np.e / 2.0, dtype=freqs_flat.dtype)
+    thres = jnp.power(e_half, psycho.quant_jnp(thres_c))
+    div = psycho.mapping_from_opus_jnp(thres, n, srate)
+    freqs = masked * div
+
+    pcm = _idct2_impl(freqs, _use_matmul(n))
+    return jnp.swapaxes(pcm, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Batched overlap windows (encode gather / decode crossfade), static shapes
+# ---------------------------------------------------------------------------
+def overlap_frame_starts(total: int, fsize: int, overlap_ratio: int) -> tuple[np.ndarray, int]:
+    """Frame start offsets and overlap length for a uniformly-framed stream.
+
+    Mirrors the streaming engine's fragment carry (encoder.py:35-51): each
+    frame after the first re-reads the trailing `fsize - fsize*(r-1)//r`
+    samples of its predecessor.
+    """
+    if overlap_ratio > 1:
+        olap = fsize - fsize * (overlap_ratio - 1) // overlap_ratio
+    else:
+        olap = 0
+    hop = fsize - olap
+    if total <= fsize:
+        return np.array([0], dtype=np.int64), olap
+    n_extra = -(-(total - fsize) // hop)
+    starts = np.concatenate([[0], fsize - olap + hop * np.arange(n_extra)])
+    return starts.astype(np.int64), olap
+
+
+@functools.partial(jax.jit, static_argnames=("fsize",), donate_argnums=())
+def gather_frames(samples: jax.Array, starts: jax.Array, fsize: int) -> jax.Array:
+    """[T, C] samples -> [B, fsize, C] overlapped frames via one gather.
+
+    `samples` must be zero-padded so every start+fsize is in range.
+    """
+    idx = starts[:, None] + jnp.arange(fsize)[None, :]
+    return samples[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("olap", "cut"))
+def overlap_add_core(frames: jax.Array, olap: int, cut: int) -> jax.Array:
+    """Batched decoder crossfade for uniform frames.
+
+    frames: [B, N, C] decoded PCM. Each frame's first `olap` samples are
+    crossfaded with the previous frame's tail (its samples [cut:cut+olap]),
+    and each frame contributes its first `cut` samples to the output
+    (reference decoder.py:28-46 per-sample loop, vectorised over the whole
+    batch). Returns [B, cut, C]; the stream tail beyond the last cut is
+    frames[-1, cut:, :] (emitted by the caller at flush).
+    """
+    if olap == 0:
+        return frames[:, :cut, :]
+    w = 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.arange(1, olap + 1, dtype=frames.dtype) / (olap + 1)))
+    heads = frames[:, :olap, :]
+    tails = jnp.concatenate([jnp.zeros_like(frames[:1, cut:cut + olap, :]),
+                             frames[:-1, cut:cut + olap, :]], axis=0)
+    first_mask = jnp.concatenate([jnp.zeros((1,), dtype=frames.dtype),
+                                  jnp.ones((frames.shape[0] - 1,), dtype=frames.dtype)])
+    blend = heads * jnp.where(first_mask[:, None, None] > 0, w[None, :, None], 1.0) \
+        + tails * w[None, ::-1, None] * first_mask[:, None, None]
+    return jnp.concatenate([blend, frames[:, olap:cut, :]], axis=1)

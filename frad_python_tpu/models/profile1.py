@@ -8,10 +8,10 @@ psychoacoustic threshold -> per-bin divisor -> power-law quantisation
 Decode inverts the chain and emits a zero frame on corrupt DEFLATE
 (reference profile1.py:59-64).
 
-TPU-first departures: the DCT is one batched matmul over all channels;
-masking/interp/quant are vectorised over [ch, N] (ops/psycho.py) instead
-of per-channel Python loops; EGR coding is the vectorised/native codec
-(ops/golomb.py).
+TPU-first: the whole tensor chain is the fused jitted core in
+models/batch.py (one DCT matmul + one subband matmul + elementwise),
+shared between this streaming wrapper (B=1) and the batch/sharded
+pipelines so both produce identical streams. Host side: EGR + DEFLATE.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ import zlib
 import numpy as np
 
 from ..ops import golomb, psycho
-from ..ops.dct import dct2_forward, idct2_forward
+from . import batch
 from .profiles import compact
 
 DEPTHS = (8, 12, 16, 24, 32, 48, 64)
@@ -39,40 +39,51 @@ def _untrim(arr: np.ndarray, fsize: int, channels: int) -> np.ndarray:
     return np.pad(arr, (0, max(0, need))) if need > 0 else arr
 
 
+def pack_streams(freqs_flat: np.ndarray, thres_flat: np.ndarray) -> bytes:
+    """EGR-encode + frame layout + DEFLATE (profile1.py:43-50)."""
+    thres_gol = golomb.encode(thres_flat)
+    freqs_gol = golomb.encode(freqs_flat)
+    frad = struct.pack(">I", len(thres_gol)) + thres_gol + freqs_gol
+    return zlib.compress(frad, wbits=-15)
+
+
+def unpack_streams(frad: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+    """Inverse of `pack_streams`; None on corrupt payload."""
+    try:
+        frad = zlib.decompress(frad, wbits=-15)
+    except Exception:
+        return None
+    if len(frad) < 4:
+        return None
+    (thres_len,) = struct.unpack(">I", frad[:4])
+    thres_gol = frad[4:4 + thres_len]
+    freqs_gol = frad[4 + thres_len:]
+    return golomb.decode(freqs_gol), golomb.decode(thres_gol)
+
+
+def prepare_frame(pcm: np.ndarray, srate: int, loss_level: float):
+    """Shared preprocessing: pad to the compact grid, coerce srate/loss."""
+    pcm = np.asarray(pcm, dtype=np.float64)
+    dlen = compact.get_samples_min_ge(max(len(pcm), 1))
+    if dlen > len(pcm):
+        pcm = np.pad(pcm, ((0, dlen - len(pcm)), (0, 0)))
+    return pcm, compact.get_valid_srate(srate), max(abs(loss_level), 0.125)
+
+
 def analogue(pcm: np.ndarray, bits: int, srate: int, loss_level: float) -> tuple[bytes, int, int, int]:
     """Encode one frame: [fsize, channels] f64 PCM -> (payload, depth index,
     channels, srate)."""
     if bits not in DEPTHS:
         bits = 16
     factor = _scale_factor(bits)
-
-    pcm = np.asarray(pcm, dtype=np.float64)
-    dlen = compact.get_samples_min_ge(len(pcm))
-    if dlen > len(pcm):
-        pcm = np.pad(pcm, ((0, dlen - len(pcm)), (0, 0)))
-    srate = compact.get_valid_srate(srate)
-    loss_level = max(abs(loss_level), 0.125)
+    pcm, srate, loss_level = prepare_frame(pcm, srate, loss_level)
     channels = pcm.shape[1]
 
-    # [ch, N] spectra in one batched transform
-    freqs = np.asarray(dct2_forward(pcm, axis=0), dtype=np.float64).T
+    fq, tq = batch.p1_encode_core(pcm[None], srate, loss_level, factor)
+    freqs_flat = np.asarray(fq[0]).ravel()       # [N, C] -> interleaved
+    thres_flat = np.asarray(tq[0]).ravel()       # [27, C] -> interleaved
 
-    thres = psycho.mask_thres_mos(freqs * factor, srate, loss_level)      # [ch, 27]
-    div = psycho.mapping_from_opus(thres, dlen, srate)                    # [ch, N]
-    div = np.where(div == 0.0, np.inf, div)
-    masked = freqs / div
-
-    freqs_flat = np.rint(psycho.quant(masked * factor)).astype(np.int64).T.ravel()
-    thres_flat = np.rint(
-        psycho.dequant(np.log(thres.clip(min=1.0)) / np.log(np.e / 2.0))
-    ).astype(np.int64).T.ravel()
-
-    thres_gol = golomb.encode(thres_flat)
-    freqs_gol = golomb.encode(freqs_flat)
-    frad = struct.pack(">I", len(thres_gol)) + thres_gol + freqs_gol
-    frad = zlib.compress(frad, wbits=-15)
-
-    return frad, DEPTHS.index(bits), channels, srate
+    return pack_streams(freqs_flat, thres_flat), DEPTHS.index(bits), channels, srate
 
 
 def digital(frad: bytes, bit_depth_index: int, channels: int, srate: int, fsize: int) -> np.ndarray:
@@ -80,27 +91,18 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, srate: int, fsize:
     bits = DEPTHS[bit_depth_index]
     factor = _scale_factor(bits)
 
-    try:
-        frad = zlib.decompress(frad, wbits=-15)
-    except Exception:
+    streams = unpack_streams(frad)
+    if streams is None:
         return np.zeros((fsize, channels))
-    if len(frad) < 4:
-        return np.zeros((fsize, channels))
-    (thres_len,) = struct.unpack(">I", frad[:4])
-    thres_gol = frad[4:4 + thres_len]
-    freqs_gol = frad[4 + thres_len:]
+    freqs_ints, thres_ints = streams
 
-    freqs_flat = psycho.dequant(golomb.decode(freqs_gol).astype(np.float64)) / factor
-    thres_flat = np.power(np.e / 2.0, psycho.quant(golomb.decode(thres_gol).astype(np.float64)))
     # pad up to / trim down to the frame grid (corrupt payloads may decode
     # to ragged lengths; the reference would crash on reshape)
-    freqs_flat = _untrim(freqs_flat, fsize, channels)[: fsize * channels]
-    thres_flat = _untrim(thres_flat, fsize, channels)[: fsize * channels]
+    freqs_flat = _untrim(freqs_ints.astype(np.float64), fsize, channels)[: fsize * channels]
+    thres_flat = _untrim(thres_ints.astype(np.float64), psycho.SUBBANDS, channels)[: psycho.SUBBANDS * channels]
 
-    masked = freqs_flat.reshape(-1, channels).T       # [ch, N]
-    thres = thres_flat.reshape(-1, channels).T        # [ch, >=27]
+    freqs = freqs_flat.reshape(fsize, channels)
+    thres = thres_flat.reshape(psycho.SUBBANDS, channels)
 
-    div = psycho.mapping_from_opus(thres[:, :psycho.SUBBANDS], fsize, srate)
-    freqs = masked * div
-
-    return np.asarray(idct2_forward(freqs.T, axis=0), dtype=np.float64)
+    pcm = batch.p1_decode_core(freqs[None], thres[None], srate, factor)
+    return np.asarray(pcm[0], dtype=np.float64)

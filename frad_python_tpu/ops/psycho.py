@@ -120,3 +120,74 @@ def quant(x: np.ndarray) -> np.ndarray:
 def dequant(x: np.ndarray) -> np.ndarray:
     """Inverse compand: sign(x)*|x|^(4/3) (p1tools.py:44)."""
     return np.sign(x) * np.abs(x) ** (1.0 / QUANT_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# JAX formulations for the batched TPU pipeline (models/batch.py).
+# Same math as above, expressed with static per-(dlen, srate) constants so
+# everything jits to fixed-shape segment-matmul + gather ops.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _mask_consts_jnp(dlen: int, srate: int):
+    """Constants for the jitted masking kernel: a [dlen, nb] band-indicator
+    matrix (subband sums become one MXU matmul), per-band 1/width, AHT floor,
+    and the static interpolation gather/weight vectors for mapping."""
+    starts, nb, aht_floor = _mask_consts(dlen, srate)
+    ind = np.zeros((dlen, max(nb, 1)), dtype=np.float64)
+    for i in range(nb):
+        ind[starts[i]:starts[i + 1], i] = 1.0
+    inv_w = np.zeros(max(nb, 1))
+    inv_w[:nb] = 1.0 / (starts[1:nb + 1] - starts[:nb])
+
+    # mapping constants: per-bin band index / interp fraction (unused bins -> nb sentinel)
+    edges = band_edges(dlen, srate)
+    mstarts = np.minimum(np.maximum(edges[:SUBBANDS], 0), dlen)
+    t = np.arange(dlen)
+    band = np.searchsorted(mstarts[1:SUBBANDS], t, side="right")
+    valid = t < mstarts[SUBBANDS - 1]
+    b = np.where(valid, band, 0)
+    c = (mstarts[b + 1] - mstarts[b]).astype(np.float64)
+    c = np.where(c == 0, 1.0, c)
+    frac = (t - mstarts[b]) / c
+    return ind, inv_w, aht_floor, nb, b, frac, valid
+
+
+def mask_thres_mos_jnp(freqs, srate: int, loss_level, alpha: float = SPREAD_ALPHA):
+    """JAX masking thresholds for [..., N] spectra -> [..., SUBBANDS]."""
+    import jax.numpy as jnp
+
+    n = freqs.shape[-1]
+    ind, inv_w, aht_floor, nb, *_ = _mask_consts_jnp(n, srate)
+    dt = freqs.dtype
+    sq = (freqs * freqs).astype(dt)
+    sums = sq @ jnp.asarray(ind, dtype=dt)                    # [..., nb]
+    rms = jnp.sqrt(sums * jnp.asarray(inv_w, dtype=dt)) ** alpha
+    th = jnp.maximum(rms, jnp.asarray(aht_floor[:ind.shape[1]], dtype=dt)) * loss_level
+    pad = SUBBANDS - nb
+    th = th[..., :nb]
+    if pad > 0:
+        th = jnp.concatenate([th, jnp.zeros(th.shape[:-1] + (pad,), dtype=dt)], axis=-1)
+    return th
+
+
+def mapping_from_opus_jnp(mapped_thres, freqs_len: int, srate: int):
+    """JAX per-bin divisor interpolation for [..., SUBBANDS] thresholds."""
+    import jax.numpy as jnp
+
+    _, _, _, _, b, frac, valid = _mask_consts_jnp(freqs_len, srate)
+    dt = mapped_thres.dtype
+    lo = mapped_thres[..., jnp.asarray(b)]
+    hi = mapped_thres[..., jnp.asarray(np.minimum(b + 1, SUBBANDS - 1))]
+    out = lo + (hi - lo) * jnp.asarray(frac, dtype=dt)
+    return jnp.where(jnp.asarray(valid), out, jnp.zeros((), dtype=dt))
+
+
+def quant_jnp(x):
+    import jax.numpy as jnp
+    return jnp.sign(x) * jnp.abs(x) ** QUANT_ALPHA
+
+
+def dequant_jnp(x):
+    import jax.numpy as jnp
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / QUANT_ALPHA)

@@ -1,1 +1,14 @@
-"""Distributed frame-batch pipeline (mesh sharding, halo exchange)."""
+"""Distributed frame-batch pipeline: whole-file batch codec and
+mesh-sharded cores with ICI halo exchange (SURVEY §2 N1-N6)."""
+
+from .pipeline import batch_decode, batch_encode, plan_frames
+from .sharded import (
+    make_mesh, overlap_add_sharded, pad_to_multiple, sharded_p0_decode,
+    sharded_p0_encode, sharded_p1_decode, sharded_p1_encode,
+)
+
+__all__ = [
+    "batch_decode", "batch_encode", "make_mesh", "overlap_add_sharded",
+    "pad_to_multiple", "plan_frames", "sharded_p0_decode",
+    "sharded_p0_encode", "sharded_p1_decode", "sharded_p1_encode",
+]

@@ -1,0 +1,164 @@
+"""Batch pipeline + multi-device sharding tests on the virtual 8-CPU mesh
+(SURVEY §4.7): batch encode byte-exact vs streaming; sharded cores
+bit-exact vs single-device."""
+
+import jax
+import numpy as np
+import pytest
+
+from frad_python_tpu import Decoder, Encoder
+from frad_python_tpu.models import batch
+from frad_python_tpu.parallel import (
+    batch_decode, batch_encode, make_mesh, overlap_add_sharded,
+    pad_to_multiple, plan_frames, sharded_p0_decode, sharded_p0_encode,
+    sharded_p1_decode, sharded_p1_encode,
+)
+
+rng = np.random.default_rng(21)
+
+
+def stream_encode(pcm, profile, srate, bits, fsize, overlap_ratio=16,
+                  enable_ecc=False, loss_level=0.5):
+    enc = Encoder(profile, srate, pcm.shape[1], bits, fsize, "f64be")
+    enc.set_overlap_ratio(overlap_ratio)
+    if enable_ecc:
+        enc.set_ecc(True, (96, 24))
+    enc.loss_level = loss_level
+    raw = pcm.astype(">f8").tobytes()
+    return enc.process(raw).buf + enc.flush().buf
+
+
+def stream_decode(stream, fix=False):
+    d = Decoder(fix_error=fix)
+    out = [d.process(stream).pcm, d.flush().pcm]
+    return np.concatenate([p for p in out if p.size])
+
+
+class TestPlanFrames:
+    def test_lossless_plain_chunks(self):
+        frames, terms = plan_frames(5000, 512, 0, False)
+        assert frames[:-1] == [(i * 512, 512) for i in range(9)]
+        assert frames[-1] == (4608, 392)
+        assert terms == 0
+
+    def test_compact_overlap_carry(self):
+        frames, terms = plan_frames(8192, 2048, 16, True)
+        # hop = 2048 - 128 = 1920 after the first frame
+        assert frames[0] == (0, 2048)
+        assert frames[1] == (1920, 2048)
+        assert terms == 2  # tail (fragment) frame exists
+
+    def test_exact_multiple_no_overlap(self):
+        frames, terms = plan_frames(4096, 2048, 0, True)
+        assert frames == [(0, 2048), (2048, 2048)]
+        assert terms == 1
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(profile=4, srate=44100, bits=64, fsize=512, total=5000, ch=2),
+    dict(profile=0, srate=44100, bits=24, fsize=2048, total=10000, ch=2),
+    dict(profile=1, srate=48000, bits=16, fsize=2048, total=9999, ch=2),
+    dict(profile=1, srate=48000, bits=16, fsize=1000, total=7000, ch=1,
+         overlap_ratio=2),
+    dict(profile=4, srate=44100, bits=64, fsize=512, total=5000, ch=2,
+         enable_ecc=True),
+])
+class TestBatchPipeline:
+    def test_encode_byte_exact_vs_streaming(self, cfg):
+        pcm = rng.standard_normal((cfg["total"], cfg["ch"])) * 0.4
+        ref = stream_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                            cfg["fsize"], cfg.get("overlap_ratio", 16),
+                            cfg.get("enable_ecc", False))
+        got = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                           cfg["fsize"],
+                           overlap_ratio=cfg.get("overlap_ratio", 16),
+                           enable_ecc=cfg.get("enable_ecc", False))
+        assert got == ref
+
+    def test_decode_matches_streaming(self, cfg):
+        pcm = rng.standard_normal((cfg["total"], cfg["ch"])) * 0.4
+        stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                              cfg["fsize"],
+                              overlap_ratio=cfg.get("overlap_ratio", 16),
+                              enable_ecc=cfg.get("enable_ecc", False))
+        ref = stream_decode(stream, cfg.get("enable_ecc", False))
+        got, srate = batch_decode(stream, fix_error=cfg.get("enable_ecc", False))
+        assert got.shape == ref.shape
+        assert srate == (cfg["srate"] if cfg["profile"] != 1 else ref.shape and srate)
+        if cfg["profile"] == 4:
+            np.testing.assert_array_equal(got, ref)
+        else:
+            # XLA batching reassociates the DCT matmuls: equal to fp noise
+            np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+class TestShardedCores:
+    def setup_method(self, method):
+        assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+        self.mesh = make_mesh(8)
+
+    def test_p0_sharded_matches_single_device(self):
+        # raw f64 DCT coefficients agree to the last ulp (XLA reassociates
+        # the matmul reduction per batch partition; ~1e-16 noise); the
+        # quantised integer outputs (P1 test below) are bit-exact.
+        frames = rng.standard_normal((16, 1024, 2))
+        want = np.asarray(batch.p0_encode_core(frames))
+        got = sharded_p0_encode(self.mesh, frames)
+        np.testing.assert_allclose(got, want, atol=1e-14, rtol=1e-13)
+        back = sharded_p0_decode(self.mesh, got)
+        np.testing.assert_allclose(back, np.asarray(batch.p0_decode_core(want)),
+                                   atol=1e-14, rtol=1e-13)
+
+    def test_p1_sharded_bit_exact(self):
+        frames = rng.standard_normal((8, 2048, 2)) * 0.4
+        factor = 2.0 ** 15
+        want_f, want_t = batch.p1_encode_core(frames, 48000, 0.5, factor)
+        got_f, got_t = sharded_p1_encode(self.mesh, frames, 48000, 0.5, factor)
+        np.testing.assert_array_equal(got_f, np.asarray(want_f))
+        np.testing.assert_array_equal(got_t, np.asarray(want_t))
+
+        want_pcm = np.asarray(batch.p1_decode_core(
+            np.asarray(want_f, dtype=np.float64),
+            np.asarray(want_t, dtype=np.float64), 48000, factor))
+        got_pcm = sharded_p1_decode(self.mesh, np.asarray(got_f, np.float64),
+                                    np.asarray(got_t, np.float64), 48000, factor)
+        # decoded floats carry last-ulp matmul reassociation noise
+        np.testing.assert_allclose(got_pcm, want_pcm, atol=1e-12)
+
+    def test_overlap_add_halo_exchange(self):
+        frames = rng.standard_normal((16, 512, 2))
+        cut = 512 * 15 // 16
+        olap = 512 - cut
+        want = np.asarray(batch.overlap_add_core(frames, olap, cut))
+        got = overlap_add_sharded(self.mesh, frames, olap, cut)
+        np.testing.assert_allclose(got, want, atol=1e-15)
+
+    def test_pad_to_multiple(self):
+        frames = rng.standard_normal((13, 64, 1))
+        padded, pad = pad_to_multiple(frames, 8)
+        assert padded.shape[0] == 16 and pad == 3
+        np.testing.assert_array_equal(padded[:13], frames)
+        assert not padded[13:].any()
+
+
+class TestOverlapAddCore:
+    def test_matches_streaming_decoder_semantics(self):
+        """overlap_add_core must equal the sequential crossfade."""
+        from frad_python_tpu.ops.window import crossfade, hanning_in_overlap
+
+        frames = rng.standard_normal((5, 256, 2))
+        r = 8
+        cut = 256 * (r - 1) // r
+        olap = 256 - cut
+        got = np.asarray(batch.overlap_add_core(frames, olap, cut))
+
+        frag = np.empty((0, 2))
+        outs = []
+        for i in range(5):
+            f = frames[i].copy()
+            if frag.size:
+                f, _ = crossfade(f, frag, 0)
+            frag = f[cut:]
+            outs.append(f[:cut])
+        want = np.stack(outs)
+        np.testing.assert_allclose(got, want, atol=1e-15)
