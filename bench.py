@@ -1,0 +1,148 @@
+"""FrAD TPU-native engine benchmark.
+
+Measures full-pipeline throughput (PCM -> FrAD bytes -> PCM, profile 1
+@ 44.1 kHz stereo, 2048-sample frames — BASELINE.json's headline config)
+on the default JAX backend, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+vs_baseline divides by the reference implementation's frames/s measured
+on this machine (tools/measure_reference.py -> BASELINE_MEASURED.json;
+the committed value is used when present).
+
+Extra per-config results go to stderr (and BENCH_DETAIL.json) so the
+stdout contract stays a single line.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import frad_python_tpu  # noqa: E402,F401  (enables x64, registers package)
+from frad_python_tpu.parallel import batch_decode, batch_encode  # noqa: E402
+
+HEADLINE = "p1_stereo_44k1"
+
+CONFIGS = {
+    "p4_mono_44k1": dict(profile=4, srate=44100, channels=1, bits=16, frame_size=2048),
+    "p0_stereo_44k1": dict(profile=0, srate=44100, channels=2, bits=24, frame_size=2048),
+    "p1_stereo_48k": dict(profile=1, srate=48000, channels=2, bits=16, frame_size=2048),
+    "p1_stereo_44k1": dict(profile=1, srate=44100, channels=2, bits=16, frame_size=2048),
+    "hires_96k_8ch": dict(profile=0, srate=96000, channels=8, bits=24, frame_size=8192),
+    "p1_stereo_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
+                              frame_size=2048, ecc=True),
+}
+
+
+def make_audio(seconds: float, srate: int, ch: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * srate)) / srate
+    sig = sum(0.3 / (i + 1) * np.sin(2 * np.pi * (220 * (i + 1)) * t[:, None] + i)
+              for i in range(4)) * np.ones((1, ch))
+    return sig + 0.01 * rng.standard_normal((len(t), ch))
+
+
+def run_config(name: str, cfg: dict, compute_dtype: str | None,
+               seconds: float = 30.0, min_wall: float = 5.0) -> dict:
+    pcm = make_audio(seconds, cfg["srate"], cfg["channels"])
+    kw = dict(loss_level=0.5, enable_ecc=bool(cfg.get("ecc")),
+              compute_dtype=compute_dtype, workers=4)
+
+    # warm-up (compile)
+    stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                          cfg["frame_size"], **kw)
+    out, _ = batch_decode(stream, fix_error=bool(cfg.get("ecc")),
+                          compute_dtype=compute_dtype,
+                          i16_transfer=cfg["profile"] == 1)
+
+    nframes = stream.count(b"\xff\xd0\xd2\x98")
+    total_frames = 0
+    enc_t = dec_t = 0.0
+    while enc_t + dec_t < min_wall:
+        t0 = time.perf_counter()
+        stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                              cfg["frame_size"], **kw)
+        t1 = time.perf_counter()
+        out, _ = batch_decode(stream, fix_error=bool(cfg.get("ecc")),
+                              compute_dtype=compute_dtype,
+                              i16_transfer=cfg["profile"] == 1)
+        t2 = time.perf_counter()
+        enc_t += t1 - t0
+        dec_t += t2 - t1
+        total_frames += nframes
+
+    wall = enc_t + dec_t
+    fps = total_frames / wall
+
+    # quality check vs source
+    m = min(len(out), len(pcm))
+    err = out[:m] - pcm[:m]
+    snr = float(10 * np.log10(np.sum(pcm[:m] ** 2) / max(np.sum(err ** 2), 1e-300)))
+
+    return {
+        "frames_per_s": fps,
+        "encode_s": enc_t,
+        "decode_s": dec_t,
+        "frames": total_frames,
+        "snr_db": snr,
+        "realtime_x": total_frames * cfg["frame_size"] / cfg["srate"] / wall,
+    }
+
+
+def main() -> None:
+    backend = jax.default_backend()
+    compute_dtype = "float32" if backend == "tpu" else None
+    print(f"backend={backend} compute_dtype={compute_dtype}", file=sys.stderr)
+
+    baseline = {}
+    bl_path = REPO / "BASELINE_MEASURED.json"
+    if bl_path.exists():
+        baseline = {k: v["frames_per_s"]
+                    for k, v in json.loads(bl_path.read_text())["results"].items()}
+
+    detail = {}
+    for name, cfg in CONFIGS.items():
+        try:
+            res = run_config(name, cfg, compute_dtype)
+        except Exception as e:  # keep the bench alive; report the failure
+            print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            detail[name] = {"error": str(e)}
+            continue
+        ref = baseline.get(name)
+        res["vs_baseline"] = (res["frames_per_s"] / ref) if ref else None
+        detail[name] = res
+        print(f"{name}: {res['frames_per_s']:.0f} frames/s "
+              f"({res['realtime_x']:.0f}x realtime, SNR {res['snr_db']:.1f} dB"
+              + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
+              file=sys.stderr)
+
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(
+        {"backend": backend, "compute_dtype": compute_dtype, "results": detail},
+        indent=2))
+
+    head = detail.get(HEADLINE, {})
+    value = head.get("frames_per_s", 0.0)
+    vsb = head.get("vs_baseline")
+    print(json.dumps({
+        "metric": "p1 44.1kHz stereo 2048-frame encode+decode throughput per chip",
+        "value": round(float(value), 2),
+        "unit": "frames/s",
+        "vs_baseline": round(float(vsb), 2) if vsb else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

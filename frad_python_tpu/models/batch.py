@@ -96,6 +96,35 @@ def p1_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
     return jnp.swapaxes(pcm, 1, 2)
 
 
+@functools.partial(jax.jit, static_argnames=("srate",))
+def p1_decode_core_i16(freqs_flat: jax.Array, thres_flat: jax.Array,
+                       srate: int, factor: jax.Array) -> jax.Array:
+    """`p1_decode_core` emitting clamped s16 PCM (x * 32768) — halves the
+    device->host transfer for the lossy profiles, whose SNR (< 40 dB) is
+    far below the s16 noise floor."""
+    pcm = p1_decode_core.__wrapped__(freqs_flat, thres_flat, srate, factor)
+    return jnp.clip(jnp.rint(pcm * 32768.0), -32768, 32767).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("srate", "olap", "cut", "i16"))
+def p1_decode_oa_core(freqs_flat: jax.Array, thres_flat: jax.Array,
+                      srate: int, factor: jax.Array, olap: int, cut: int,
+                      i16: bool):
+    """Fused profile-1 decode + overlap-add: one kernel, one d2h.
+
+    Returns (pcm_out [B, cut, C] — s16-scaled int16 when `i16` else the
+    compute dtype —, fragment [olap, C] raw tail of the last frame). The
+    fragment seeds the streaming tail decoder exactly like the
+    per-frame path.
+    """
+    pcm = p1_decode_core.__wrapped__(freqs_flat, thres_flat, srate, factor)
+    frag = pcm[-1, cut:cut + olap, :] if olap else pcm[-1, :0, :]
+    out = overlap_add_core.__wrapped__(pcm, olap, cut)
+    if i16:
+        out = jnp.clip(jnp.rint(out * 32768.0), -32768, 32767).astype(jnp.int16)
+    return out, frag
+
+
 # ---------------------------------------------------------------------------
 # Batched overlap windows (encode gather / decode crossfade), static shapes
 # ---------------------------------------------------------------------------

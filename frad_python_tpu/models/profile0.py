@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops import packing
+from ..ops import packing, policy
 from ..ops.dct import dct2_forward, idct2_forward
 
 DEPTHS = packing.DEPTHS
@@ -29,7 +29,8 @@ def analogue(pcm: np.ndarray, bits: int, srate: int, little_endian: bool) -> tup
     channels = pcm.shape[1] if pcm.ndim > 1 else 1
     pcm = np.asarray(pcm, dtype=np.float64).reshape(-1, channels)
 
-    freqs = np.asarray(dct2_forward(pcm, axis=0), dtype=np.float64)
+    freqs = np.asarray(
+        dct2_forward(pcm.astype(policy.compute_dtype()), axis=0), dtype=np.float64)
 
     max_abs = float(np.max(np.abs(freqs))) if freqs.size else 0.0
     bits = packing.needed_depth(max_abs, bits)
@@ -43,5 +44,5 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, little_endian: boo
     bits = DEPTHS[bit_depth_index]
     flat = packing.unpack_floats(frad, bits, little_endian)
     n = (len(flat) // channels) * channels
-    freqs = flat[:n].reshape(-1, channels)
+    freqs = flat[:n].reshape(-1, channels).astype(policy.compute_dtype())
     return np.asarray(idct2_forward(freqs, axis=0), dtype=np.float64)

@@ -21,7 +21,7 @@ import zlib
 
 import numpy as np
 
-from ..ops import golomb, psycho
+from ..ops import golomb, policy, psycho
 from . import batch
 from .profiles import compact
 
@@ -79,7 +79,8 @@ def analogue(pcm: np.ndarray, bits: int, srate: int, loss_level: float) -> tuple
     pcm, srate, loss_level = prepare_frame(pcm, srate, loss_level)
     channels = pcm.shape[1]
 
-    fq, tq = batch.p1_encode_core(pcm[None], srate, loss_level, factor)
+    fq, tq = batch.p1_encode_core(
+        pcm[None].astype(policy.compute_dtype()), srate, loss_level, factor)
     freqs_flat = np.asarray(fq[0]).ravel()       # [N, C] -> interleaved
     thres_flat = np.asarray(tq[0]).ravel()       # [27, C] -> interleaved
 
@@ -104,5 +105,7 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, srate: int, fsize:
     freqs = freqs_flat.reshape(fsize, channels)
     thres = thres_flat.reshape(psycho.SUBBANDS, channels)
 
-    pcm = batch.p1_decode_core(freqs[None], thres[None], srate, factor)
+    dt = policy.compute_dtype()
+    pcm = batch.p1_decode_core(freqs[None].astype(dt), thres[None].astype(dt),
+                               srate, factor)
     return np.asarray(pcm[0], dtype=np.float64)

@@ -15,7 +15,7 @@ import zlib
 
 import numpy as np
 
-from ..ops import golomb, psycho, tns
+from ..ops import golomb, policy, psycho, tns
 from ..ops.dct import dct2_forward, idct2_forward
 from .profile1 import _scale_factor, _untrim
 from .profiles import compact
@@ -36,7 +36,8 @@ def analogue(pcm: np.ndarray, bits: int, srate: int, loss_level: float) -> tuple
     loss_level = max(abs(loss_level), 0.125)
     channels = pcm.shape[1]
 
-    freqs = np.asarray(dct2_forward(pcm, axis=0), dtype=np.float64).T    # [ch, N]
+    freqs = np.asarray(dct2_forward(pcm.astype(policy.compute_dtype()), axis=0),
+                       dtype=np.float64).T    # [ch, N]
 
     thres = psycho.mask_thres_mos(freqs * factor, srate, loss_level)
     div = psycho.mapping_from_opus(thres, dlen, srate)
@@ -100,4 +101,6 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, srate: int, fsize:
     rows = [tns.tns_synthesis(masked[c], lpc_quant[c]) * div[c] for c in range(channels)]
     freqs = np.stack(rows)
 
-    return np.asarray(idct2_forward(freqs.T, axis=0), dtype=np.float64)
+    return np.asarray(
+        idct2_forward(freqs.T.astype(policy.compute_dtype()), axis=0),
+        dtype=np.float64)

@@ -105,39 +105,85 @@ size_t frad_egr_encode(const int64_t* data, size_t n, uint8_t* out) {
         uint64_t mapped = x > 0 ? (uint64_t)((x << 1) - 1) : (uint64_t)((-x) << 1);
         uint64_t v = mapped + base;
         int blen = bit_width_u64(v);
-        int zeros = blen - k - 1;                  // unary prefix length
-        if (zeros > 0) bw_put(&w, 0, zeros);
-        bw_put(&w, v, blen);
+        int code_len = 2 * blen - k - 1;           // zeros + digits
+        if (code_len <= 64) {
+            bw_put(&w, v, code_len);               // leading zeros implicit
+        } else {
+            bw_put(&w, 0, code_len - blen);
+            bw_put(&w, v, blen);
+        }
     }
     bw_flush(&w);
     return w.byte_pos;
 }
 
 // Returns number of decoded symbols. `out` must hold 8*(nbytes-1) entries.
+// Word-buffered: unary prefixes via count-leading-zeros on a 64-bit
+// accumulator, value bits extracted with one shift+mask per symbol.
 size_t frad_egr_decode(const uint8_t* bytes, size_t nbytes, int64_t* out) {
     if (nbytes < 1) return 0;
-    int k = bytes[0];
+    const int k = bytes[0];
     const uint8_t* p = bytes + 1;
-    size_t nbits = (nbytes - 1) * 8;
+    const size_t n = nbytes - 1;
+    size_t byte_pos = 0;
+    uint64_t acc = 0;        // low `acc_bits` bits valid, MSB-first order
+    int acc_bits = 0;
     size_t count = 0;
+    const int64_t base = (int64_t)(1ull << k);
 
-    size_t pos = 0;
-    while (pos < nbits) {
-        // unary scan for the terminator '1'
-        size_t scan = pos;
-        while (scan < nbits && !((p[scan >> 3] >> (7 - (scan & 7))) & 1))
-            scan++;
-        if (scan >= nbits) break;                  // trailing zero padding
-        size_t m = scan - pos;
-        size_t code_len = 2 * m + (size_t)k + 1;
-        size_t end = pos + code_len;
-        if (end > nbits) end = nbits;              // tolerate truncation
-        uint64_t v = 0;
-        for (size_t b = pos; b < end; b++)
-            v = (v << 1) | ((p[b >> 3] >> (7 - (b & 7))) & 1);
-        int64_t nval = (int64_t)v - (int64_t)(1ull << k);
+    for (;;) {
+        // refill
+        while (acc_bits <= 56 && byte_pos < n) {
+            acc = (acc << 8) | p[byte_pos++];
+            acc_bits += 8;
+        }
+        if (acc_bits == 0) break;
+
+        // unary zero run
+        uint64_t m = 0;
+        while (acc == 0) {
+            m += (uint64_t)acc_bits;
+            acc_bits = 0;
+            if (byte_pos >= n) return count;       // trailing padding
+            while (acc_bits <= 56 && byte_pos < n) {
+                acc = (acc << 8) | p[byte_pos++];
+                acc_bits += 8;
+            }
+            if (acc_bits == 0) return count;
+        }
+        int lead = acc_bits - bit_width_u64(acc);
+        m += (uint64_t)lead;
+        acc_bits -= lead;                          // zeros are implicit
+
+        uint64_t need = m + (uint64_t)k + 1;       // value bits incl. the 1
+        uint64_t v;
+        if (need <= 57) {
+            while ((uint64_t)acc_bits < need && byte_pos < n) {
+                acc = (acc << 8) | p[byte_pos++];
+                acc_bits += 8;
+            }
+            uint64_t take = need < (uint64_t)acc_bits ? need : (uint64_t)acc_bits;
+            v = (acc >> (acc_bits - (int)take)) & ((take == 64) ? ~0ull : ((1ull << take) - 1));
+            acc_bits -= (int)take;
+            acc &= (acc_bits == 64) ? ~0ull : ((1ull << acc_bits) - 1);
+        } else {
+            // corrupt/huge codeword: bit-by-bit fallback with truncation
+            v = 0;
+            uint64_t got = 0;
+            while (got < need) {
+                if (acc_bits == 0) {
+                    if (byte_pos >= n) break;
+                    acc = p[byte_pos++];
+                    acc_bits = 8;
+                }
+                v = (v << 1) | ((acc >> (acc_bits - 1)) & 1);
+                acc_bits--;
+                acc &= (1ull << acc_bits) - 1;
+                got++;
+            }
+        }
+        int64_t nval = (int64_t)v - base;
         out[count++] = (nval & 1) ? ((nval + 1) >> 1) : -(nval >> 1);
-        pos += code_len;
     }
     return count;
 }

@@ -31,6 +31,27 @@ import numpy as np
 # per matrix: fits HBM comfortably, streams through the MXU.
 MATMUL_MAX_N = 4096
 
+# XLA:TPU silently miscompiles very large FFT batches (observed: wrong
+# results for ~2800 x 8192-point c64 FFTs, correct when chunked). Cap the
+# FFT batch per call and loop with lax.map above it.
+FFT_BATCH_MAX = 256
+
+
+def _batched_fft(v: jax.Array, inverse: bool) -> jax.Array:
+    fft = jnp.fft.ifft if inverse else jnp.fft.fft
+    lead = v.shape[:-1]
+    n = v.shape[-1]
+    r = int(np.prod(lead)) if lead else 1
+    if r <= FFT_BATCH_MAX:
+        return fft(v, axis=-1)
+    flat = v.reshape(r, n)
+    pad = (-r) % FFT_BATCH_MAX
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, n), flat.dtype)])
+    blocks = flat.reshape(-1, FFT_BATCH_MAX, n)
+    out = jax.lax.map(lambda b: fft(b, axis=-1), blocks)
+    return out.reshape(-1, n)[:r].reshape(*lead, n)
+
 
 @functools.lru_cache(maxsize=64)
 def _dct_matrices(n: int, dtype_name: str) -> tuple[np.ndarray, np.ndarray]:
@@ -51,13 +72,21 @@ def _dct_matrices(n: int, dtype_name: str) -> tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(fwd, dtype=dt), np.ascontiguousarray(inv, dtype=dt)
 
 
+def _twiddle(n: int, dtype, sign: float) -> jax.Array:
+    """exp(sign * i*pi*k/(2n)) in the complex type matching `dtype`
+    (complex64 for f32 — TPU has no c128; complex128 for f64 on CPU)."""
+    cdt = jnp.complex64 if jnp.dtype(dtype) == jnp.float32 else jnp.complex128
+    k = np.arange(n, dtype=np.float64)
+    tw = np.exp(sign * 1j * np.pi * k / (2.0 * n))
+    return jnp.asarray(tw, dtype=cdt)
+
+
 def _fft_dct2(x: jax.Array) -> jax.Array:
     """Unnormalised DCT-II (factor-2 convention) of the last axis via FFT."""
     n = x.shape[-1]
     v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
-    big = jnp.fft.fft(v, axis=-1)
-    k = jnp.arange(n)
-    tw = jnp.exp(-1j * jnp.pi * k / (2.0 * n))
+    big = _batched_fft(v, inverse=False)
+    tw = _twiddle(n, x.dtype, -1.0)
     return 2.0 * jnp.real(big * tw).astype(x.dtype)
 
 
@@ -70,10 +99,9 @@ def _fft_idct2(yu: jax.Array) -> jax.Array:
     """
     n = yu.shape[-1]
     y_rev = jnp.concatenate([jnp.zeros_like(yu[..., :1]), yu[..., :0:-1]], axis=-1)
-    k = jnp.arange(n)
-    tw = jnp.exp(1j * jnp.pi * k / (2.0 * n))
-    big = 0.5 * (yu - 1j * y_rev) * tw
-    v = jnp.real(jnp.fft.ifft(big, axis=-1)).astype(yu.dtype)
+    tw = _twiddle(n, yu.dtype, 1.0)
+    big = (0.5 * (yu - 1j * y_rev).astype(tw.dtype)) * tw
+    v = jnp.real(_batched_fft(big, inverse=True)).astype(yu.dtype)
     half = (n + 1) // 2
     x = jnp.zeros_like(yu)
     x = x.at[..., ::2].set(v[..., :half])

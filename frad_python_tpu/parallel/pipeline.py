@@ -14,6 +14,9 @@ fragments, same force-flush terminators.
 
 from __future__ import annotations
 
+import functools
+import struct
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -23,9 +26,44 @@ from ..container.asfh import ASFH
 from ..decoder import Decoder
 from ..models import COMPACT, batch, profile0, profile1, profile4
 from ..models.profiles import compact
-from ..ops import packing
+from ..ops import bitpack, golomb, packing, policy
 
 DEFAULT_ECC_RATIO = (96, 24)
+
+
+@functools.lru_cache(maxsize=1)
+def _pool() -> ThreadPoolExecutor:
+    """Shared host-work pool (native EGR/RS and zlib release the GIL)."""
+    return ThreadPoolExecutor(max_workers=8, thread_name_prefix="frad-host")
+
+
+@functools.lru_cache(maxsize=8)
+def _splitter(parts: int):
+    """One jitted program emitting `parts` slices (single compile per
+    input shape; separate output buffers enable concurrent d2h)."""
+    import jax
+
+    def split(a):
+        b = a.shape[0]
+        bounds = [b * i // parts for i in range(parts + 1)]
+        return tuple(a[bounds[i]:bounds[i + 1]] for i in range(parts))
+
+    return jax.jit(split)
+
+
+def _fetch(arr, parts: int = 8) -> np.ndarray:
+    """Device->host fetch with `parts` concurrent slice transfers.
+
+    The d2h link sustains ~5x more bandwidth with overlapped transfers
+    (and hides per-transfer latency); the split is one jitted program so
+    each batch shape compiles exactly once.
+    """
+    if arr.shape[0] < parts * 2:
+        return np.asarray(arr)
+    chunks = _splitter(parts)(arr)
+    for c in chunks:
+        c.copy_to_host_async()
+    return np.concatenate([np.asarray(c) for c in chunks])
 
 
 def plan_frames(total: int, fsize: int, overlap_ratio: int, is_compact: bool
@@ -84,11 +122,17 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                  enable_ecc: bool = False,
                  ecc_ratio: tuple[int, int] = DEFAULT_ECC_RATIO,
                  little_endian: bool = False, overlap_ratio: int = 16,
-                 workers: int = 4) -> bytes:
+                 workers: int = 4, compute_dtype: str | None = None) -> bytes:
     """Encode a whole [T, C] f64 PCM array into a FrAD byte stream.
 
-    Byte-exact with streaming `Encoder(...).process(raw) + flush()`.
+    Byte-exact with streaming `Encoder(...).process(raw) + flush()` at the
+    default compute dtype (f64). `compute_dtype='float32'` runs the
+    tensor cores in f32 — the TPU fast path: the stream stays fully
+    format-compatible (quantised ints / truncated floats differ only in
+    the last ulp of the transform) at hardware-native speed.
     """
+    if compute_dtype is None and policy.compute_dtype() != "float64":
+        compute_dtype = policy.compute_dtype()
     pcm = np.asarray(pcm, dtype=np.float64)
     total, channels = pcm.shape
     is_compact = profile in COMPACT
@@ -135,33 +179,79 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 arr = pad
             factor = profile1._scale_factor(bit_depth if bit_depth in profile1.DEPTHS else 16)
             bits = bit_depth if bit_depth in profile1.DEPTHS else 16
+            if compute_dtype:
+                arr = arr.astype(compute_dtype)
             fq, tq = batch.p1_encode_core(arr, srate_v, ll, factor)
+            bdi = profile1.DEPTHS.index(bits)
+
+            # On-device EGR bit-pack (bits <= 24 keeps symbols < 2^23, the
+            # exact-f32 range): ships ~4-12 bits/symbol over the d2h link
+            # instead of 32, which is the pipeline's bottleneck. The host
+            # byte stage for chunk k-1 overlaps chunk k's transfer (jax
+            # dispatch is async; only np.asarray blocks).
+            if bits <= 24 and len(frs) > 1:
+                m = fq.shape[1] * fq.shape[2]
+                max_words = max(m * 12 // 32, 16)
+                words, nbits, ks, ovf = bitpack.egr_pack_frames(
+                    fq.reshape(len(frs), m), max_words)
+                for dev in (nbits, ks, ovf, tq):
+                    dev.copy_to_host_async()
+                words = _fetch(words)
+                nbits = np.asarray(nbits)
+                ks = np.asarray(ks)
+                ovf = np.asarray(ovf)
+                tqh = np.asarray(tq)
+                # host fallback for (rare) frames whose stream overflowed
+                fq_fallback = {int(i): np.asarray(fq[int(i)])
+                               for i in np.flatnonzero(ovf)}
+
+                def pack_one(i: int) -> tuple[bytes, int, int]:
+                    if ovf[i]:
+                        freqs_gol = golomb.encode(fq_fallback[i].ravel().astype(np.int64))
+                    else:
+                        freqs_gol = bitpack.words_to_stream(words[i], nbits[i], ks[i])
+                    thres_gol = golomb.encode(tqh[i].ravel().astype(np.int64))
+                    frad = struct.pack(">I", len(thres_gol)) + thres_gol + freqs_gol
+                    return zlib.compress(frad, wbits=-15), bdi, frs[i][1]
+
+                return list(_pool().map(pack_one, range(len(frs))))
+
             fq = np.asarray(fq)
             tq = np.asarray(tq)
-            bdi = profile1.DEPTHS.index(bits)
 
             def pack_one(i: int) -> tuple[bytes, int, int]:
                 return (profile1.pack_streams(fq[i].ravel(), tq[i].ravel()),
                         bdi, frs[i][1])
 
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                return list(ex.map(pack_one, range(len(frs))))
+            return list(_pool().map(pack_one, range(len(frs))))
 
         # lossless profiles
         if profile == 0:
-            coeffs = np.asarray(batch.p0_encode_core(arr))
+            coeffs = _fetch(batch.p0_encode_core(
+                arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
             coeffs = arr
         maxabs = np.max(np.abs(coeffs.reshape(len(frs), -1)), axis=1) if coeffs.size else np.zeros(len(frs))
 
-        def pack_one(i: int) -> tuple[bytes, int, int]:
-            bits = bit_depth if bit_depth in packing.DEPTHS else 16
-            bits = packing.needed_depth(float(maxabs[i]), bits)
-            payload = packing.pack_floats(coeffs[i].ravel(), bits, little_endian)
-            return payload, packing.DEPTHS.index(bits), frs[i][1]
-
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            return list(ex.map(pack_one, range(len(frs))))
+        base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
+        depths = [packing.needed_depth(float(m), base_bits) for m in maxabs]
+        results: list[tuple[bytes, int, int] | None] = [None] * len(frs)
+        # Group frames by escalated depth and pack each group as ONE numpy
+        # pass (byte-aligned depths concatenate losslessly); 12-bit frames
+        # carry per-frame nibble padding so they stay per-frame.
+        for d in sorted(set(depths)):
+            idxs = [i for i, dd in enumerate(depths) if dd == d]
+            bdi = packing.DEPTHS.index(d)
+            if d == 12:
+                for i in idxs:
+                    payload = packing.pack_floats(coeffs[i].ravel(), d, little_endian)
+                    results[i] = (payload, bdi, frs[i][1])
+                continue
+            blob = packing.pack_floats(coeffs[idxs].reshape(-1), d, little_endian)
+            per = len(blob) // len(idxs)
+            for j, i in enumerate(idxs):
+                results[i] = (blob[j * per:(j + 1) * per], bdi, frs[i][1])
+        return results
 
     payload_parts.extend(_encode_frames(uniform))
     payload_parts.extend(_encode_frames(tail))
@@ -176,8 +266,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                       little_endian=little_endian, overlap_ratio=overlap_ratio)
         return a.write(payload)
 
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        framed = list(ex.map(frame_bytes, payload_parts))
+    framed = list(_pool().map(frame_bytes, payload_parts))
 
     if is_compact and terms:
         a = _asfh_for(profile, payload_parts[-1][1], channels, srate,
@@ -188,7 +277,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
 
 
 def batch_decode(stream: bytes, *, fix_error: bool = False,
-                 workers: int = 4) -> tuple[np.ndarray, int]:
+                 workers: int = 4, compute_dtype: str | None = None,
+                 i16_transfer: bool = False) -> tuple[np.ndarray, int]:
     """Decode a FrAD byte stream in batched mode.
 
     Fast path: a uniform prefix run (same profile/depth/channels/srate/
@@ -197,29 +287,26 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
     format changes) goes through the streaming Decoder seeded with the
     carried overlap state. Returns (pcm [T, C], srate).
     """
+    if compute_dtype is None and policy.compute_dtype() != "float64":
+        compute_dtype = policy.compute_dtype()
     # ---- host parse: split stream into frames ----
     headers: list[ASFH] = []
     payloads: list[bytes] = []
     pos = 0
-    buf = stream
     tail_bytes = b""
     while True:
         a = ASFH()
-        idx = buf.find(b"\xff\xd0\xd2\x98", pos)
+        idx = stream.find(b"\xff\xd0\xd2\x98", pos)
         if idx < 0:
             break
-        status, rest = a.read(buf[idx:])
-        if status != "Complete":
-            tail_bytes = buf[idx:]
-            break
-        if len(rest) < a.frmbytes:
-            tail_bytes = buf[idx:]
+        # headers are <= 40 bytes incl. the 64-bit length extension
+        status, _ = a.read(stream[idx: idx + 48])
+        if status != "Complete" or idx + a.header_bytes + a.frmbytes > len(stream):
+            tail_bytes = stream[idx:]
             break
         headers.append(a)
-        payloads.append(rest[: a.frmbytes])
-        consumed = (idx + a.header_bytes + a.frmbytes)
-        buf = buf[consumed:]
-        pos = 0
+        payloads.append(stream[idx + a.header_bytes: idx + a.header_bytes + a.frmbytes])
+        pos = idx + a.header_bytes + a.frmbytes
     if not headers:
         dec = Decoder(fix_error=fix_error)
         out = dec.process(stream).pcm
@@ -252,8 +339,7 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
             def de_ecc(i: int) -> bytes:
                 repair = fix_error and not hs[i].payload_crc_matches(ps[i])
                 return ecc_mod.decode(ps[i], hs[i].ecc_dsize, hs[i].ecc_codesize, repair)
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                ps = list(ex.map(de_ecc, range(run)))
+            ps = list(_pool().map(de_ecc, range(run)))
 
         ch = h0.channels
         n = h0.fsize
@@ -271,23 +357,49 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
                 ti = profile1._untrim(ti.astype(np.float64), 27, ch)[: 27 * ch]
                 return fi, ti
 
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                unpacked = list(ex.map(unpack_one, range(run)))
+            unpacked = list(_pool().map(unpack_one, range(run)))
             fq = np.stack([u[0].reshape(n, ch) for u in unpacked])
             tq = np.stack([u[1].reshape(27, ch) for u in unpacked])
-            frames = np.asarray(batch.p1_decode_core(fq, tq, h0.srate, factor))
+            if compute_dtype:
+                fq = fq.astype(compute_dtype)
+                tq = tq.astype(compute_dtype)
+            if h0.overlap_ratio > 1:
+                cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
+            else:
+                cut = n
+            olap = n - cut
+            i16 = bool(i16_transfer and compute_dtype == "float32")
+            out_d, frag_d = batch.p1_decode_oa_core(fq, tq, h0.srate, factor,
+                                                    olap, cut, i16)
+            out_h = _fetch(out_d)
+            if i16:
+                out_h = out_h.astype(np.float64) / 32768.0
+            out_parts.append(out_h.reshape(-1, ch))
+            frag = np.asarray(frag_d, dtype=np.float64)
+            frames = None  # handled (fused path)
         elif prof in (0, 4):
-            def unpack_one(i: int):
-                flat = packing.unpack_floats(ps[i], packing.DEPTHS[h0.bit_depth_index], h0.endian)
-                m = (len(flat) // ch) * ch
-                arr = flat[:m].reshape(-1, ch)
-                if len(arr) < n:
-                    arr = np.pad(arr, ((0, n - len(arr)), (0, 0)))
-                return arr[:n]
+            bits = packing.DEPTHS[h0.bit_depth_index]
+            sizes = {len(p) for p in ps}
+            if bits != 12 and len(sizes) == 1:
+                # equal byte-aligned payloads: one vectorised unpack
+                flat = packing.unpack_floats(b"".join(ps), bits, h0.endian)
+                coeffs = flat.reshape(run, -1, ch)[:, :n, :]
+            else:
+                def unpack_one(i: int):
+                    flat = packing.unpack_floats(ps[i], bits, h0.endian)
+                    m = (len(flat) // ch) * ch
+                    arr = flat[:m].reshape(-1, ch)
+                    if len(arr) < n:
+                        arr = np.pad(arr, ((0, n - len(arr)), (0, 0)))
+                    return arr[:n]
 
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                coeffs = np.stack(list(ex.map(unpack_one, range(run))))
-            frames = np.asarray(batch.p0_decode_core(coeffs)) if prof == 0 else coeffs
+                coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
+            if prof == 0:
+                if compute_dtype:
+                    coeffs = coeffs.astype(compute_dtype)
+                frames = _fetch(batch.p0_decode_core(coeffs))
+            else:
+                frames = coeffs
         else:
             frames = None  # profile 2: no batch core yet, stream it all
             run = 0
