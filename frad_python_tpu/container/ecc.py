@@ -19,8 +19,8 @@ from ..ops import rs
 
 def encode(data: bytes, ecc_dsize: int, ecc_codesize: int) -> bytes:
     """data -> data armored as [dsize bytes | codesize parity] blocks."""
-    if not data:
-        return b""
+    if not data or ecc_codesize <= 0:
+        return data
     buf = np.frombuffer(data, dtype=np.uint8)
     n_full = len(buf) // ecc_dsize
     out_parts = []
@@ -39,8 +39,8 @@ def encode(data: bytes, ecc_dsize: int, ecc_codesize: int) -> bytes:
 
 def decode(data: bytes, ecc_dsize: int, ecc_codesize: int, repair: bool) -> bytes:
     """Strip (or verify-and-repair) ECC blocks back to the raw payload."""
-    if not data:
-        return b""
+    if not data or ecc_codesize <= 0:
+        return data
     blocksize = ecc_dsize + ecc_codesize
     buf = np.frombuffer(data, dtype=np.uint8)
     n_full = len(buf) // blocksize

@@ -249,6 +249,7 @@ static const uint8_t* gen_poly(int nsym) {
 
 void frad_rs_encode_blocks(const uint8_t* data, size_t nblocks, size_t dsize,
                            size_t nsym, uint8_t* parity) {
+    if (nsym == 0) return;
     if (!gf_init_done) gf_init();
     const uint8_t* g = gen_poly((int)nsym);
     for (size_t b = 0; b < nblocks; b++) {
@@ -321,6 +322,7 @@ static bool rs_synd(const uint8_t* c, size_t blen, size_t nsym, uint8_t* synd) {
 // Repairs codewords in place; ok[b]=1 if clean/corrected, 0 if zero-filled.
 void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
                            size_t nsym, uint8_t* ok) {
+    if (nsym == 0) { memset(ok, 1, nblocks); return; }
     if (!gf_init_done) gf_init();
     for (size_t b = 0; b < nblocks; b++) {
         uint8_t* c = cw + b * blen;

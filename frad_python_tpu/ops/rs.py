@@ -83,6 +83,8 @@ def generator_poly(nsym: int) -> tuple[int, ...]:
 
 def encode_blocks(data: np.ndarray, nsym: int) -> np.ndarray:
     """[nblocks, dsize] uint8 -> [nblocks, nsym] parity, all blocks at once."""
+    if nsym <= 0:
+        return np.zeros((data.shape[0], 0), dtype=np.uint8)
     from .. import native
     if native.available():
         return native.rs_encode_blocks(data, nsym)
@@ -211,6 +213,8 @@ def decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndar
     [nblocks]); uncorrectable blocks are returned zero-filled with
     ok=False (caller semantics per reference ecc.py:22).
     """
+    if nsym <= 0:
+        return codewords.copy(), np.ones(codewords.shape[0], dtype=bool)
     from .. import native
     if native.available():
         return native.rs_decode_blocks(codewords, nsym)
