@@ -1,6 +1,8 @@
-"""Distributed frame-batch pipeline: whole-file batch codec and
-mesh-sharded cores with ICI halo exchange (SURVEY §2 N1-N6)."""
+"""Distributed frame-batch pipeline: whole-file batch codec, mesh-sharded
+cores with ICI halo exchange, and multi-host orchestration over DCN
+(SURVEY §2 N1-N6)."""
 
+from . import multihost
 from .pipeline import batch_decode, batch_encode, plan_frames
 from .sharded import (
     make_mesh, overlap_add_sharded, pad_to_multiple, sharded_p0_decode,
@@ -8,7 +10,8 @@ from .sharded import (
 )
 
 __all__ = [
-    "batch_decode", "batch_encode", "make_mesh", "overlap_add_sharded",
-    "pad_to_multiple", "plan_frames", "sharded_p0_decode",
-    "sharded_p0_encode", "sharded_p1_decode", "sharded_p1_encode",
+    "batch_decode", "batch_encode", "make_mesh", "multihost",
+    "overlap_add_sharded", "pad_to_multiple", "plan_frames",
+    "sharded_p0_decode", "sharded_p0_encode", "sharded_p1_decode",
+    "sharded_p1_encode",
 ]
