@@ -96,6 +96,60 @@ def p1_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
     return jnp.swapaxes(pcm, 1, 2)
 
 
+# ---------------------------------------------------------------------------
+# Profile 2 cores: profile 1's chain + Temporal Noise Shaping
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("srate",))
+def p2_encode_core(frames: jax.Array, srate: int, loss_level: jax.Array,
+                   factor: jax.Array):
+    """[B, N, C] PCM -> (freqs_q [B,N,C], thres_q [B,27,C], lpc_q [B,13,C]).
+
+    Reference profile2.py:21-51 chain with the TNS analysis between
+    masking and quantisation (ops/tns_jax.py, fully batched)."""
+    from ..ops import tns_jax
+
+    n = frames.shape[1]
+    x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
+    freqs = _dct2_impl(x, _use_matmul(n))
+
+    thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
+    div = psycho.mapping_from_opus_jnp(thres, n, srate)
+    div = jnp.where(div == 0.0, jnp.inf, div)
+    masked, lpc_q = tns_jax.tns_analysis(freqs / div)
+
+    idt = (jnp.int64 if (frames.dtype == jnp.float64
+                         and jax.config.read("jax_enable_x64")) else jnp.int32)
+    freqs_q = jnp.rint(psycho.quant_jnp(masked * factor)).astype(idt)
+    log_base = jnp.log(jnp.asarray(np.e / 2.0, dtype=frames.dtype))
+    thres_q = jnp.rint(
+        psycho.dequant_jnp(jnp.log(jnp.clip(thres, min=1.0)) / log_base)
+    ).astype(idt)
+
+    return (jnp.swapaxes(freqs_q, 1, 2), jnp.swapaxes(thres_q, 1, 2),
+            jnp.swapaxes(lpc_q.astype(idt), 1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def p2_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array,
+                   lpc_flat: jax.Array, srate: int, factor: jax.Array) -> jax.Array:
+    """Inverse of `p2_encode_core` (reference profile2.py:58-91)."""
+    from ..ops import tns_jax
+
+    n = freqs_flat.shape[1]
+    masked = jnp.swapaxes(freqs_flat, 1, 2)
+    thres_c = jnp.swapaxes(thres_flat, 1, 2)
+    lpc_c = jnp.swapaxes(lpc_flat, 1, 2)
+
+    masked = psycho.dequant_jnp(masked) / factor
+    e_half = jnp.asarray(np.e / 2.0, dtype=freqs_flat.dtype)
+    thres = jnp.power(e_half, psycho.quant_jnp(thres_c))
+    div = psycho.mapping_from_opus_jnp(thres, n, srate)
+    freqs = tns_jax.tns_synthesis(masked, lpc_c) * div
+
+    pcm = _idct2_impl(freqs, _use_matmul(n))
+    return jnp.swapaxes(pcm, 1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("srate",))
 def p1_decode_core_i16(freqs_flat: jax.Array, thres_flat: jax.Array,
                        srate: int, factor: jax.Array) -> jax.Array:

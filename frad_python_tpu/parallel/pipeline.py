@@ -24,7 +24,7 @@ import numpy as np
 from ..container import ecc as ecc_mod
 from ..container.asfh import ASFH
 from ..decoder import Decoder
-from ..models import COMPACT, batch, profile0, profile1, profile4
+from ..models import COMPACT, batch, profile0, profile1, profile2, profile4
 from ..models.profiles import compact
 from ..ops import bitpack, golomb, packing, policy
 
@@ -225,6 +225,30 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
 
             return list(_pool().map(pack_one, range(len(frs))))
 
+        if profile == 2:
+            arr_p, srate_v, ll = profile2.prepare_frame(arr[0], srate, loss_level)
+            dlen = arr_p.shape[0]
+            if dlen != flen:
+                pad = np.zeros((len(frs), dlen, channels))
+                pad[:, :flen] = arr
+                arr = pad
+            bits = bit_depth if bit_depth in profile2.DEPTHS else 16
+            factor = profile2._scale_factor(bits)
+            if compute_dtype:
+                arr = arr.astype(compute_dtype)
+            fq, tq, lq = batch.p2_encode_core(arr, srate_v, ll, factor)
+            fqh = np.asarray(fq)
+            tqh = np.asarray(tq)
+            lqh = np.asarray(lq)
+            bdi = profile2.DEPTHS.index(bits)
+
+            def pack_one(i: int) -> tuple[bytes, int, int]:
+                return (profile2.pack_streams(fqh[i].ravel(), tqh[i].ravel(),
+                                              lqh[i].ravel()),
+                        bdi, frs[i][1])
+
+            return list(_pool().map(pack_one, range(len(frs))))
+
         # lossless profiles
         if profile == 0:
             coeffs = _fetch(batch.p0_encode_core(
@@ -400,8 +424,31 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
                 frames = _fetch(batch.p0_decode_core(coeffs))
             else:
                 frames = coeffs
+        elif prof == 2:
+            factor = profile2._scale_factor(profile2.DEPTHS[h0.bit_depth_index])
+            order1 = 13
+
+            def unpack_one2(i: int):
+                st = profile2.unpack_streams(ps[i])
+                if st is None:
+                    return (np.zeros(n * ch), np.zeros(27 * ch), np.zeros(order1 * ch))
+                fi, ti, li = st
+                fi = profile1._untrim(fi.astype(np.float64), n, ch)[: n * ch]
+                ti = profile1._untrim(ti.astype(np.float64), 27, ch)[: 27 * ch]
+                li = profile1._untrim(li.astype(np.float64), order1, ch)[: order1 * ch]
+                return fi, ti, li
+
+            unpacked = list(_pool().map(unpack_one2, range(run)))
+            fq = np.stack([u[0].reshape(n, ch) for u in unpacked])
+            tq = np.stack([u[1].reshape(27, ch) for u in unpacked])
+            lq = np.stack([u[2].reshape(order1, ch) for u in unpacked])
+            if compute_dtype:
+                fq = fq.astype(compute_dtype)
+                tq = tq.astype(compute_dtype)
+                lq = lq.astype(compute_dtype)
+            frames = _fetch(batch.p2_decode_core(fq, tq, lq, h0.srate, factor))
         else:
-            frames = None  # profile 2: no batch core yet, stream it all
+            frames = None  # reserved profiles: stream everything
             run = 0
 
         if run >= 1 and frames is not None:
