@@ -196,7 +196,6 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     fq.reshape(len(frs), m), max_words)
                 for dev in (nbits, ks, ovf, tq):
                     dev.copy_to_host_async()
-                words = _fetch(words)
                 nbits = np.asarray(nbits)
                 ks = np.asarray(ks)
                 ovf = np.asarray(ovf)
@@ -205,16 +204,29 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 fq_fallback = {int(i): np.asarray(fq[int(i)])
                                for i in np.flatnonzero(ovf)}
 
-                def pack_one(i: int) -> tuple[bytes, int, int]:
+                def pack_one(words_h, i: int) -> tuple[bytes, int, int]:
                     if ovf[i]:
                         freqs_gol = golomb.encode(fq_fallback[i].ravel().astype(np.int64))
                     else:
-                        freqs_gol = bitpack.words_to_stream(words[i], nbits[i], ks[i])
+                        freqs_gol = bitpack.words_to_stream(words_h, nbits[i], ks[i])
                     thres_gol = golomb.encode(tqh[i].ravel().astype(np.int64))
                     frad = struct.pack(">I", len(thres_gol)) + thres_gol + freqs_gol
                     return zlib.compress(frad, wbits=-15), bdi, frs[i][1]
 
-                return list(_pool().map(pack_one, range(len(frs))))
+                # pipeline: pack chunk k on host threads while chunk k+1's
+                # words are still in flight on the d2h link
+                parts = 8 if len(frs) >= 16 else 1
+                chunks = _splitter(parts)(words) if parts > 1 else (words,)
+                for c in chunks:
+                    c.copy_to_host_async()
+                futures = []
+                row = 0
+                for c in chunks:
+                    host_rows = np.asarray(c)
+                    for j in range(host_rows.shape[0]):
+                        futures.append(_pool().submit(pack_one, host_rows[j], row))
+                        row += 1
+                return [f.result() for f in futures]
 
             fq = np.asarray(fq)
             tq = np.asarray(tq)
@@ -300,6 +312,25 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     return b"".join(framed)
 
 
+def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes], bytes]:
+    """O(n) frame scan; headers are <= 40 bytes incl. the u64 extension."""
+    headers: list[ASFH] = []
+    payloads: list[bytes] = []
+    pos = 0
+    n = len(stream)
+    while True:
+        idx = stream.find(b"\xff\xd0\xd2\x98", pos)
+        if idx < 0:
+            return headers, payloads, b""
+        a = ASFH()
+        status, _ = a.read(stream[idx: idx + 48])
+        if status != "Complete" or idx + a.header_bytes + a.frmbytes > n:
+            return headers, payloads, stream[idx:]
+        headers.append(a)
+        payloads.append(stream[idx + a.header_bytes: idx + a.header_bytes + a.frmbytes])
+        pos = idx + a.header_bytes + a.frmbytes
+
+
 def batch_decode(stream: bytes, *, fix_error: bool = False,
                  workers: int = 4, compute_dtype: str | None = None,
                  i16_transfer: bool = False) -> tuple[np.ndarray, int]:
@@ -314,23 +345,7 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
     if compute_dtype is None and policy.compute_dtype() != "float64":
         compute_dtype = policy.compute_dtype()
     # ---- host parse: split stream into frames ----
-    headers: list[ASFH] = []
-    payloads: list[bytes] = []
-    pos = 0
-    tail_bytes = b""
-    while True:
-        a = ASFH()
-        idx = stream.find(b"\xff\xd0\xd2\x98", pos)
-        if idx < 0:
-            break
-        # headers are <= 40 bytes incl. the 64-bit length extension
-        status, _ = a.read(stream[idx: idx + 48])
-        if status != "Complete" or idx + a.header_bytes + a.frmbytes > len(stream):
-            tail_bytes = stream[idx:]
-            break
-        headers.append(a)
-        payloads.append(stream[idx + a.header_bytes: idx + a.header_bytes + a.frmbytes])
-        pos = idx + a.header_bytes + a.frmbytes
+    headers, payloads, tail_bytes = _parse_frames(stream)
     if not headers:
         dec = Decoder(fix_error=fix_error)
         out = dec.process(stream).pcm
