@@ -56,7 +56,7 @@ def make_audio(seconds: float, srate: int, ch: int) -> np.ndarray:
 
 
 def run_config(name: str, cfg: dict, compute_dtype: str | None,
-               seconds: float = 30.0, min_wall: float = 5.0) -> dict:
+               seconds: float = 30.0, min_wall: float = 3.0) -> dict:
     pcm = make_audio(seconds, cfg["srate"], cfg["channels"])
     kw = dict(loss_level=0.5, enable_ecc=bool(cfg.get("ecc")),
               compute_dtype=compute_dtype, workers=4)
@@ -72,7 +72,9 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     total_frames = 0
     enc_t = dec_t = 0.0
     pass_fps = []
-    while enc_t + dec_t < min_wall or len(pass_fps) < 3:
+    budget = time.perf_counter() + 75.0   # hard per-config cap (link stalls)
+    while (enc_t + dec_t < min_wall or len(pass_fps) < 3) \
+            and (time.perf_counter() < budget or not pass_fps):
         t0 = time.perf_counter()
         stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
                               cfg["frame_size"], **kw)
@@ -85,6 +87,8 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
         dec_t += t2 - t1
         total_frames += nframes
         pass_fps.append(nframes / (t2 - t0))
+        print(f"  {name} pass: enc {t1-t0:.2f}s dec {t2-t1:.2f}s "
+              f"({pass_fps[-1]:.0f} f/s)", file=sys.stderr)
 
     wall = enc_t + dec_t
     # median pass rate resists the tunnel's multi-second transients

@@ -20,46 +20,75 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import psycho
-from ..ops.dct import _dct2_impl, _idct2_impl, MATMUL_MAX_N
+from ..ops.dct import _dct2_impl, _idct2_impl, device_matrices, MATMUL_MAX_N
 
 
 def _use_matmul(n: int) -> bool:
     return n <= MATMUL_MAX_N
 
 
+def _mats(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
+    """DCT matrices as device-resident jit ARGUMENTS (never HLO
+    constants — giant constants stall XLA constant folding for tens of
+    seconds per compiled shape)."""
+    if n > MATMUL_MAX_N:
+        return None, None
+    return device_matrices(n, str(jnp.dtype(dtype)))
+
+
 # ---------------------------------------------------------------------------
 # Profile 0 cores: plain forward/inverse DCT over the frame axis
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=())
-def p0_encode_core(frames: jax.Array) -> jax.Array:
-    """[B, N, C] PCM -> [B, N, C] DCT-II 'forward' coefficients."""
+@jax.jit
+def _p0_encode_jit(frames: jax.Array, fwd) -> jax.Array:
     x = jnp.swapaxes(frames, 1, 2)                 # [B, C, N]
-    y = _dct2_impl(x, _use_matmul(x.shape[-1]))
+    y = _dct2_impl(x, _use_matmul(x.shape[-1]), fwd)
     return jnp.swapaxes(y, 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def p0_decode_core(freqs: jax.Array) -> jax.Array:
-    """[B, N, C] coefficients -> [B, N, C] PCM."""
+def p0_encode_core(frames) -> jax.Array:
+    """[B, N, C] PCM -> [B, N, C] DCT-II 'forward' coefficients."""
+    frames = jnp.asarray(frames)
+    fwd, _ = _mats(frames.shape[1], frames.dtype)
+    return _p0_encode_jit(frames, fwd)
+
+
+@jax.jit
+def _p0_decode_jit(freqs: jax.Array, inv) -> jax.Array:
     y = jnp.swapaxes(freqs, 1, 2)
-    x = _idct2_impl(y, _use_matmul(y.shape[-1]))
+    x = _idct2_impl(y, _use_matmul(y.shape[-1]), inv)
     return jnp.swapaxes(x, 1, 2)
+
+
+def p0_decode_core(freqs) -> jax.Array:
+    """[B, N, C] coefficients -> [B, N, C] PCM."""
+    freqs = jnp.asarray(freqs)
+    _, inv = _mats(freqs.shape[1], freqs.dtype)
+    return _p0_decode_jit(freqs, inv)
 
 
 # ---------------------------------------------------------------------------
 # Profile 1 cores: DCT -> psychoacoustic masking -> power-law quantisation
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("srate",))
-def p1_encode_core(frames: jax.Array, srate: int, loss_level: jax.Array,
-                   factor: jax.Array):
+def p1_encode_core(frames, srate: int, loss_level, factor):
     """[B, N, C] PCM -> (freqs_q [B, N, C] int, thres_q [B, SUBBANDS, C] int).
 
     Integer outputs feed the host EGR+DEFLATE stage; everything here is
     one fused graph (reference profile1.py:21-40 chain).
     """
+    frames = jnp.asarray(frames)
+    fwd, _ = _mats(frames.shape[1], frames.dtype)
+    return _p1_encode_jit(frames, srate,
+                          jnp.asarray(loss_level, frames.dtype),
+                          jnp.asarray(factor, frames.dtype), fwd)
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def _p1_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
+                   factor: jax.Array, fwd):
     n = frames.shape[1]
     x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
-    freqs = _dct2_impl(x, _use_matmul(n))
+    freqs = _dct2_impl(x, _use_matmul(n), fwd)
 
     thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
@@ -77,11 +106,18 @@ def p1_encode_core(frames: jax.Array, srate: int, loss_level: jax.Array,
     return jnp.swapaxes(freqs_q, 1, 2), jnp.swapaxes(thres_q, 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("srate",))
-def p1_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
-                   factor: jax.Array) -> jax.Array:
+def p1_decode_core(freqs_flat, thres_flat, srate: int, factor) -> jax.Array:
     """([B, N, C] compand-domain floats, [B, SUBBANDS, C] threshold ints)
     -> [B, N, C] PCM (reference profile1.py:66-77 chain)."""
+    freqs_flat = jnp.asarray(freqs_flat)
+    _, inv = _mats(freqs_flat.shape[1], freqs_flat.dtype)
+    return _p1_decode_jit(freqs_flat, jnp.asarray(thres_flat), srate,
+                          jnp.asarray(factor, freqs_flat.dtype), inv)
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def _p1_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
+                   factor: jax.Array, inv) -> jax.Array:
     n = freqs_flat.shape[1]
     masked = jnp.swapaxes(freqs_flat, 1, 2)                    # [B, C, N]
     thres_c = jnp.swapaxes(thres_flat, 1, 2)                   # [B, C, 27]
@@ -92,25 +128,33 @@ def p1_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
     freqs = masked * div
 
-    pcm = _idct2_impl(freqs, _use_matmul(n))
+    pcm = _idct2_impl(freqs, _use_matmul(n), inv)
     return jnp.swapaxes(pcm, 1, 2)
 
 
 # ---------------------------------------------------------------------------
 # Profile 2 cores: profile 1's chain + Temporal Noise Shaping
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("srate",))
-def p2_encode_core(frames: jax.Array, srate: int, loss_level: jax.Array,
-                   factor: jax.Array):
+def p2_encode_core(frames, srate: int, loss_level, factor):
     """[B, N, C] PCM -> (freqs_q [B,N,C], thres_q [B,27,C], lpc_q [B,13,C]).
 
     Reference profile2.py:21-51 chain with the TNS analysis between
     masking and quantisation (ops/tns_jax.py, fully batched)."""
+    frames = jnp.asarray(frames)
+    fwd, _ = _mats(frames.shape[1], frames.dtype)
+    return _p2_encode_jit(frames, srate,
+                          jnp.asarray(loss_level, frames.dtype),
+                          jnp.asarray(factor, frames.dtype), fwd)
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def _p2_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
+                   factor: jax.Array, fwd):
     from ..ops import tns_jax
 
     n = frames.shape[1]
     x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
-    freqs = _dct2_impl(x, _use_matmul(n))
+    freqs = _dct2_impl(x, _use_matmul(n), fwd)
 
     thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
@@ -129,10 +173,20 @@ def p2_encode_core(frames: jax.Array, srate: int, loss_level: jax.Array,
             jnp.swapaxes(lpc_q.astype(idt), 1, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("srate",))
-def p2_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array,
-                   lpc_flat: jax.Array, srate: int, factor: jax.Array) -> jax.Array:
+def p2_decode_core(freqs_flat, thres_flat, lpc_flat, srate: int,
+                   factor) -> jax.Array:
     """Inverse of `p2_encode_core` (reference profile2.py:58-91)."""
+    freqs_flat = jnp.asarray(freqs_flat)
+    _, inv = _mats(freqs_flat.shape[1], freqs_flat.dtype)
+    return _p2_decode_jit(freqs_flat, jnp.asarray(thres_flat),
+                          jnp.asarray(lpc_flat), srate,
+                          jnp.asarray(factor, freqs_flat.dtype), inv)
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def _p2_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
+                   lpc_flat: jax.Array, srate: int, factor: jax.Array,
+                   inv) -> jax.Array:
     from ..ops import tns_jax
 
     n = freqs_flat.shape[1]
@@ -146,24 +200,20 @@ def p2_decode_core(freqs_flat: jax.Array, thres_flat: jax.Array,
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
     freqs = tns_jax.tns_synthesis(masked, lpc_c) * div
 
-    pcm = _idct2_impl(freqs, _use_matmul(n))
+    pcm = _idct2_impl(freqs, _use_matmul(n), inv)
     return jnp.swapaxes(pcm, 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("srate",))
-def p1_decode_core_i16(freqs_flat: jax.Array, thres_flat: jax.Array,
-                       srate: int, factor: jax.Array) -> jax.Array:
+def p1_decode_core_i16(freqs_flat, thres_flat, srate: int, factor) -> jax.Array:
     """`p1_decode_core` emitting clamped s16 PCM (x * 32768) — halves the
     device->host transfer for the lossy profiles, whose SNR (< 40 dB) is
     far below the s16 noise floor."""
-    pcm = p1_decode_core.__wrapped__(freqs_flat, thres_flat, srate, factor)
+    pcm = p1_decode_core(freqs_flat, thres_flat, srate, factor)
     return jnp.clip(jnp.rint(pcm * 32768.0), -32768, 32767).astype(jnp.int16)
 
 
-@functools.partial(jax.jit, static_argnames=("srate", "olap", "cut", "i16"))
-def p1_decode_oa_core(freqs_flat: jax.Array, thres_flat: jax.Array,
-                      srate: int, factor: jax.Array, olap: int, cut: int,
-                      i16: bool):
+def p1_decode_oa_core(freqs_flat, thres_flat, srate: int, factor,
+                      olap: int, cut: int, i16: bool):
     """Fused profile-1 decode + overlap-add: one kernel, one d2h.
 
     Returns (pcm_out [B, cut, C] — s16-scaled int16 when `i16` else the
@@ -171,7 +221,18 @@ def p1_decode_oa_core(freqs_flat: jax.Array, thres_flat: jax.Array,
     fragment seeds the streaming tail decoder exactly like the
     per-frame path.
     """
-    pcm = p1_decode_core.__wrapped__(freqs_flat, thres_flat, srate, factor)
+    freqs_flat = jnp.asarray(freqs_flat)
+    _, inv = _mats(freqs_flat.shape[1], freqs_flat.dtype)
+    return _p1_decode_oa_jit(freqs_flat, jnp.asarray(thres_flat), srate,
+                             jnp.asarray(factor, freqs_flat.dtype), olap,
+                             cut, i16, inv)
+
+
+@functools.partial(jax.jit, static_argnames=("srate", "olap", "cut", "i16"))
+def _p1_decode_oa_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
+                      srate: int, factor: jax.Array, olap: int, cut: int,
+                      i16: bool, inv):
+    pcm = _p1_decode_jit.__wrapped__(freqs_flat, thres_flat, srate, factor, inv)
     frag = pcm[-1, cut:cut + olap, :] if olap else pcm[-1, :0, :]
     out = overlap_add_core.__wrapped__(pcm, olap, cut)
     if i16:

@@ -109,29 +109,61 @@ def _fft_idct2(yu: jax.Array) -> jax.Array:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("use_matmul",))
-def _dct2_impl(x: jax.Array, use_matmul: bool) -> jax.Array:
+@functools.lru_cache(maxsize=64)
+def device_matrices(n: int, dtype_name: str) -> tuple[jax.Array, jax.Array]:
+    """(forward, inverse) DCT matrices resident on the default device.
+
+    Passed to the jitted cores as ARGUMENTS rather than closed-over
+    constants — a 16-64 MB HLO constant makes XLA constant-fold for tens
+    of seconds per compiled shape; as parameters, compiles are fast and
+    the persistent compilation cache stays effective.
+    """
+    fwd, inv = _dct_matrices(n, dtype_name)
+    return jax.device_put(fwd), jax.device_put(inv)
+
+
+def _dct2_impl(x: jax.Array, use_matmul: bool, mat: jax.Array | None = None) -> jax.Array:
+    """Traced helper (call inside jit): forward-normalised DCT-II."""
     n = x.shape[-1]
     if use_matmul:
-        fwd, _ = _dct_matrices(n, str(x.dtype))
-        return jnp.matmul(x, fwd, precision=jax.lax.Precision.HIGHEST)
+        if mat is None:
+            mat, _ = _dct_matrices(n, str(x.dtype))
+        return jnp.matmul(x, mat, precision=jax.lax.Precision.HIGHEST)
     return _fft_dct2(x) / (2.0 * n)
 
 
-@functools.partial(jax.jit, static_argnames=("use_matmul",))
-def _idct2_impl(y: jax.Array, use_matmul: bool) -> jax.Array:
+def _idct2_impl(y: jax.Array, use_matmul: bool, mat: jax.Array | None = None) -> jax.Array:
+    """Traced helper (call inside jit): inverse of `_dct2_impl`."""
     n = y.shape[-1]
     if use_matmul:
-        _, inv = _dct_matrices(n, str(y.dtype))
-        return jnp.matmul(y, inv, precision=jax.lax.Precision.HIGHEST)
+        if mat is None:
+            _, mat = _dct_matrices(n, str(y.dtype))
+        return jnp.matmul(y, mat, precision=jax.lax.Precision.HIGHEST)
     return _fft_idct2(y * (2.0 * n))
+
+
+@functools.partial(jax.jit, static_argnames=("use_matmul",))
+def _dct2_jit(x: jax.Array, mat, use_matmul: bool) -> jax.Array:
+    return _dct2_impl(x, use_matmul, mat)
+
+
+@functools.partial(jax.jit, static_argnames=("use_matmul",))
+def _idct2_jit(y: jax.Array, mat, use_matmul: bool) -> jax.Array:
+    return _idct2_impl(y, use_matmul, mat)
+
+
+def _mats_for(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
+    if n > MATMUL_MAX_N:
+        return None, None
+    return device_matrices(n, str(jnp.dtype(dtype)))
 
 
 def dct2_forward(x, axis: int = -1):
     """DCT-II with scipy norm='forward' over `axis`. Accepts np/jnp arrays."""
     x = jnp.asarray(x)
     x = jnp.moveaxis(x, axis, -1)
-    out = _dct2_impl(x, x.shape[-1] <= MATMUL_MAX_N)
+    fwd, _ = _mats_for(x.shape[-1], x.dtype)
+    out = _dct2_jit(x, fwd, x.shape[-1] <= MATMUL_MAX_N)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -139,5 +171,6 @@ def idct2_forward(y, axis: int = -1):
     """Inverse DCT (scipy idct type-2, norm='forward') over `axis`."""
     y = jnp.asarray(y)
     y = jnp.moveaxis(y, axis, -1)
-    out = _idct2_impl(y, y.shape[-1] <= MATMUL_MAX_N)
+    _, inv = _mats_for(y.shape[-1], y.dtype)
+    out = _idct2_jit(y, inv, y.shape[-1] <= MATMUL_MAX_N)
     return jnp.moveaxis(out, -1, axis)

@@ -54,29 +54,32 @@ def sharded_p1_encode(mesh: Mesh, frames: np.ndarray, srate: int,
     """
     spec = NamedSharding(mesh, P("data"))
     f = jax.device_put(jnp.asarray(frames), spec)
+    fwd, _ = batch._mats(f.shape[1], f.dtype)
     fn = jax.jit(
-        lambda fr, ll, fc: batch.p1_encode_core.__wrapped__(fr, srate, ll, fc),
-        in_shardings=(spec, None, None),
+        lambda fr, ll, fc, m: batch._p1_encode_jit.__wrapped__(fr, srate, ll, fc, m),
+        in_shardings=(spec, None, None, None),
         out_shardings=(spec, spec),
     )
-    fq, tq = fn(f, jnp.asarray(loss_level, f.dtype), jnp.asarray(factor, f.dtype))
+    fq, tq = fn(f, jnp.asarray(loss_level, f.dtype), jnp.asarray(factor, f.dtype), fwd)
     return np.asarray(fq), np.asarray(tq)
 
 
 def sharded_p0_encode(mesh: Mesh, frames: np.ndarray) -> np.ndarray:
     spec = NamedSharding(mesh, P("data"))
     f = jax.device_put(jnp.asarray(frames), spec)
-    fn = jax.jit(batch.p0_encode_core.__wrapped__,
-                 in_shardings=(spec,), out_shardings=spec)
-    return np.asarray(fn(f))
+    fwd, _ = batch._mats(f.shape[1], f.dtype)
+    fn = jax.jit(batch._p0_encode_jit.__wrapped__,
+                 in_shardings=(spec, None), out_shardings=spec)
+    return np.asarray(fn(f, fwd))
 
 
 def sharded_p0_decode(mesh: Mesh, coeffs: np.ndarray) -> np.ndarray:
     spec = NamedSharding(mesh, P("data"))
     c = jax.device_put(jnp.asarray(coeffs), spec)
-    fn = jax.jit(batch.p0_decode_core.__wrapped__,
-                 in_shardings=(spec,), out_shardings=spec)
-    return np.asarray(fn(c))
+    _, inv = batch._mats(c.shape[1], c.dtype)
+    fn = jax.jit(batch._p0_decode_jit.__wrapped__,
+                 in_shardings=(spec, None), out_shardings=spec)
+    return np.asarray(fn(c, inv))
 
 
 def sharded_p1_decode(mesh: Mesh, freqs: np.ndarray, thres: np.ndarray,
@@ -84,10 +87,11 @@ def sharded_p1_decode(mesh: Mesh, freqs: np.ndarray, thres: np.ndarray,
     spec = NamedSharding(mesh, P("data"))
     f = jax.device_put(jnp.asarray(freqs), spec)
     t = jax.device_put(jnp.asarray(thres), spec)
+    _, inv = batch._mats(f.shape[1], f.dtype)
     fn = jax.jit(
-        lambda fr, th, fc: batch.p1_decode_core.__wrapped__(fr, th, srate, fc),
-        in_shardings=(spec, spec, None), out_shardings=spec)
-    return np.asarray(fn(f, t, jnp.asarray(factor, f.dtype)))
+        lambda fr, th, fc, m: batch._p1_decode_jit.__wrapped__(fr, th, srate, fc, m),
+        in_shardings=(spec, spec, None, None), out_shardings=spec)
+    return np.asarray(fn(f, t, jnp.asarray(factor, f.dtype), inv))
 
 
 def overlap_add_sharded(mesh: Mesh, frames: np.ndarray, olap: int, cut: int
