@@ -59,14 +59,6 @@ def gf_pow(a: int, n: int) -> int:
     return int(_EXP[(_LOG[a] * n) % 255])
 
 
-def _gf_mul_vec(vec: np.ndarray, scalar_log: int) -> np.ndarray:
-    """Multiply a uint8 vector by a fixed field element (given as log)."""
-    out = np.zeros_like(vec)
-    nz = vec != 0
-    out[nz] = _EXP[_LOG[vec[nz]] + scalar_log]
-    return out
-
-
 @functools.lru_cache(maxsize=64)
 def generator_poly(nsym: int) -> tuple[int, ...]:
     """Monic generator polynomial prod_{i<nsym} (x - a^i), high-first."""
@@ -157,7 +149,6 @@ def _berlekamp_massey(synd: list[int], nsym: int) -> list[int] | None:
 def _correct_block(cw: np.ndarray, synd: np.ndarray, nsym: int) -> np.ndarray | None:
     """Repair one codeword in place; None when uncorrectable."""
     blen = len(cw)
-    # reedsolo convention: locator built over reversed syndromes order
     loc = _berlekamp_massey([int(s) for s in synd], nsym)
     if loc is None:
         return None

@@ -17,7 +17,6 @@ by the fused profile-2 cores:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import numpy as np
 from ..container import ecc as ecc_mod
 from ..container.asfh import ASFH
 from ..decoder import Decoder
-from ..models import COMPACT, batch, profile0, profile1, profile2, profile4
+from ..models import COMPACT, batch, profile1, profile2
 from ..models.profiles import compact
 from ..ops import bitpack, golomb, packing, policy
 

@@ -20,7 +20,6 @@ Everything compiles with n real chips or with a virtual CPU mesh
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
