@@ -126,11 +126,25 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
 
     info = ProcessInfo()
 
-    if params.turbo and not rpipe and not play:
+    use_turbo = params.turbo if params.turbo is not None else (
+        not rpipe and not play
+        and os.path.getsize(input_path) < (1 << 29))
+    if use_turbo and not rpipe and not play:
         stream = readfile.read()
-        pcm, srate = batch_decode(stream, fix_error=params.enable_ecc)
-        info.update(len(stream), len(pcm), srate)
-        emit(np.atleast_2d(pcm), srate or 48000)
+        no = 0
+        while stream:
+            pcm, srate, rest = batch_decode(stream, fix_error=params.enable_ecc,
+                                            return_remainder=True)
+            info.update(len(stream) - len(rest), len(pcm), srate)
+            emit(np.atleast_2d(pcm), srate or 48000)
+            if not rest or len(rest) >= len(stream):
+                break
+            stream = rest
+            if not wpipe:   # rotate output like the streaming path (crit)
+                no += 1
+                wfile_path = f"{wfile_prim}.{no}.pcm"
+                check_overwrite(wfile_path, params.overwrite)
+                writefile = open(wfile_path, "wb")
         _log(params.loglevel, info, True, ASFH())
         return
 

@@ -107,7 +107,13 @@ def encode(input_path: str, params: CliParams) -> None:
 
     info = ProcessInfo()
 
-    if params.turbo and rfile is not sys.stdin.buffer:
+    # auto-select the batched TPU path for regular files (per-frame
+    # dispatch latency makes streaming slow on accelerators); --no-turbo
+    # forces the incremental engine, pipes always stream
+    use_turbo = params.turbo if params.turbo is not None else (
+        rfile is not sys.stdin.buffer
+        and os.fstat(rfile.fileno()).st_size < (1 << 29))
+    if use_turbo and rfile is not sys.stdin.buffer:
         # whole-file batched TPU path
         dtype = ff_format_to_numpy_type(params.pcm)
         raw = rfile.read()

@@ -333,14 +333,18 @@ def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes], bytes]:
 
 def batch_decode(stream: bytes, *, fix_error: bool = False,
                  workers: int = 4, compute_dtype: str | None = None,
-                 i16_transfer: bool = False) -> tuple[np.ndarray, int]:
+                 i16_transfer: bool = False,
+                 return_remainder: bool = False):
     """Decode a FrAD byte stream in batched mode.
 
     Fast path: a uniform prefix run (same profile/depth/channels/srate/
     fsize, full-length frames) is decoded as one batched core call with a
-    vectorised overlap-add; everything after (tail frames, terminators,
-    format changes) goes through the streaming Decoder seeded with the
-    carried overlap state. Returns (pcm [T, C], srate).
+    vectorised overlap-add; everything after (tail frames, terminators)
+    goes through the streaming Decoder seeded with the carried overlap
+    state. Returns (pcm [T, C], srate); with `return_remainder`, returns
+    (pcm, srate, remainder_bytes) where `remainder_bytes` is non-empty
+    when the stream changes channel layout or sample rate mid-way (the
+    reference's `crit` split) — decode it with another call.
     """
     if compute_dtype is None and policy.compute_dtype() != "float64":
         compute_dtype = policy.compute_dtype()
@@ -351,7 +355,10 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
         out = dec.process(stream).pcm
         tail = dec.flush().pcm
         parts = [p for p in (out, tail) if p.size]
-        return (np.concatenate(parts) if parts else np.empty((0,))), dec.asfh.srate
+        pcm_out = np.concatenate(parts) if parts else np.empty((0,))
+        if return_remainder:
+            return pcm_out, dec.asfh.srate, b""
+        return pcm_out, dec.asfh.srate
 
     # ---- find the uniform batched prefix ----
     h0 = headers[0]
@@ -484,18 +491,27 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
     rest_stream = b"".join(
         _reframe(headers[i], payloads[i]) for i in range(run, len(headers))
     ) + tail_bytes
+    remainder = b""
     if rest_stream:
         r = dec.process(rest_stream)
         out_parts.append(r.pcm)
         srate = r.srate or srate
-        out_parts.append(dec.flush().pcm)
+        if r.crit:
+            # mid-stream format change: the pending frame's header is
+            # already parsed inside `dec`; reserialise it + the unread
+            # buffer for the caller's next segment
+            remainder = dec.asfh.buffer + dec.buffer
+        else:
+            out_parts.append(dec.flush().pcm)
     else:
         out_parts.append(np.asarray(frag))
 
     parts = [np.atleast_2d(p) for p in out_parts if p.size]
-    if not parts:
-        return np.empty((0, h0.channels)), srate
-    return np.concatenate(parts, axis=0), srate
+    pcm_out = (np.concatenate(parts, axis=0) if parts
+               else np.empty((0, h0.channels)))
+    if return_remainder:
+        return pcm_out, srate, remainder
+    return pcm_out, srate
 
 
 def _reframe(a: ASFH, payload: bytes) -> bytes:

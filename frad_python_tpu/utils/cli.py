@@ -48,7 +48,7 @@ class CliParams:
         self.image_path = ""
         self.loglevel = 0
         self.speed = 1.0
-        self.turbo = False
+        self.turbo: bool | None = None   # None = auto (regular files)
 
     def set_meta_from_json(self, path: str) -> None:
         """JSONMeta format: [{"key": .., "type": "string"|"base64", "value": ..}]."""
@@ -95,6 +95,7 @@ _FLAG_HANDLERS = {
     ("speed", "spd"): lambda p, a: setattr(p, "speed", float(a.pop(0))),
     ("keys", "key", "k"): lambda p, a: setattr(p, "speed", 2 ** (float(a.pop(0)) / 12)),
     ("turbo", "batch"): lambda p, a: setattr(p, "turbo", True),
+    ("no-turbo", "streaming"): lambda p, a: setattr(p, "turbo", False),
 }
 
 

@@ -142,3 +142,20 @@ class TestImageMetadata:
         assert data[:4] == b"fRad"
         out, _ = batch_decode(data)
         assert len(out) >= 2000
+
+
+class TestCliMultiFormatDecode:
+    def test_turbo_decode_rotates_outputs(self, tmp_path):
+        from frad_python_tpu.app.main import main
+        a = (rng.standard_normal((3000, 2)) * 0.3)
+        b = (rng.standard_normal((2000, 1)) * 0.3)
+        s1 = batch_encode(a, 4, 44100, 64, 512)
+        s2 = batch_encode(b, 4, 48000, 64, 512)
+        f = tmp_path / "multi.frad"
+        f.write_bytes(s1 + s2)
+        out = tmp_path / "out"
+        main(["t", "decode", str(f), "-o", str(out), "-y"])
+        got1 = np.frombuffer((tmp_path / "out.pcm").read_bytes(), ">f8").reshape(-1, 2)
+        got2 = np.frombuffer((tmp_path / "out.1.pcm").read_bytes(), ">f8").reshape(-1, 1)
+        np.testing.assert_array_equal(got1, a)
+        np.testing.assert_array_equal(got2, b)

@@ -266,3 +266,22 @@ class TestProfile2Batch:
         snr = 10 * np.log10(np.sum(pcm[:m] ** 2)
                             / np.sum((pcm[:m] - got[:m]) ** 2))
         assert snr > 15
+
+
+class TestBatchDecodeFormatChange:
+    def test_remainder_on_crit(self):
+        rng3 = np.random.default_rng(91)
+        a = rng3.standard_normal((4096, 2)) * 0.4
+        b = rng3.standard_normal((3000, 1)) * 0.4
+        s1 = batch_encode(a, 4, 44100, 64, 512)
+        s2 = batch_encode(b, 4, 48000, 64, 512)
+        stream = s1 + s2
+
+        pcm1, sr1, rest = batch_decode(stream, return_remainder=True)
+        assert pcm1.shape == (4096, 2) and sr1 == 44100
+        np.testing.assert_array_equal(pcm1, a)
+        assert rest
+        pcm2, sr2, rest2 = batch_decode(rest, return_remainder=True)
+        assert pcm2.shape == (3000, 1) and sr2 == 48000
+        np.testing.assert_array_equal(pcm2, b)
+        assert rest2 == b""
