@@ -37,6 +37,24 @@ def _pool() -> ThreadPoolExecutor:
     return ThreadPoolExecutor(max_workers=8, thread_name_prefix="frad-host")
 
 
+@functools.lru_cache(maxsize=1)
+def _meta_packer():
+    """Jitted concat of the per-frame scalars + thresholds into ONE int32
+    array so the encode path pays a single small-d2h round trip instead
+    of four (the link's ~30 ms latency dominates small transfers)."""
+    import jax
+    import jax.numpy as jnp
+
+    def pack(nbits, ks, ovf, tq):
+        b = nbits.shape[0]
+        return jnp.concatenate(
+            [nbits[:, None].astype(jnp.int32), ks[:, None].astype(jnp.int32),
+             ovf[:, None].astype(jnp.int32),
+             tq.reshape(b, -1).astype(jnp.int32)], axis=1)
+
+    return jax.jit(pack)
+
+
 @functools.lru_cache(maxsize=8)
 def _splitter(parts: int):
     """One jitted program emitting `parts` slices (single compile per
@@ -192,14 +210,15 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
             if bits <= 24 and len(frs) > 1:
                 m = fq.shape[1] * fq.shape[2]
                 max_words = max(m * 12 // 32, 16)
-                words, nbits, ks, ovf = bitpack.egr_pack_frames(
+                words, nbits_d, ks_d, ovf_d = bitpack.egr_pack_frames(
                     fq.reshape(len(frs), m), max_words)
-                for dev in (nbits, ks, ovf, tq):
-                    dev.copy_to_host_async()
-                nbits = np.asarray(nbits)
-                ks = np.asarray(ks)
-                ovf = np.asarray(ovf)
-                tqh = np.asarray(tq)
+                meta = _meta_packer()(nbits_d, ks_d, ovf_d, tq)
+                meta.copy_to_host_async()
+                meta = np.asarray(meta)
+                nbits = meta[:, 0]
+                ks = meta[:, 1]
+                ovf = meta[:, 2].astype(bool)
+                tqh = meta[:, 3:].reshape(len(frs), tq.shape[1], tq.shape[2])
                 # host fallback for (rare) frames whose stream overflowed
                 fq_fallback = {int(i): np.asarray(fq[int(i)])
                                for i in np.flatnonzero(ovf)}
@@ -370,9 +389,7 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
              h.ecc, h.overlap_ratio) != key0):
             break
         run += 1
-    # keep the final run frame for the streaming tail path so its fragment
-    # threading stays exact
-    run = max(run - 1, 0)
+
 
     out_parts: list[np.ndarray] = []
     srate = h0.srate
