@@ -64,9 +64,10 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     # warm-up (compile)
     stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
                           cfg["frame_size"], **kw)
-    out, _ = batch_decode(stream, fix_error=bool(cfg.get("ecc")),
-                          compute_dtype=compute_dtype,
-                          i16_transfer=cfg["profile"] == 1)
+    dec_kw = dict(fix_error=bool(cfg.get("ecc")), compute_dtype=compute_dtype,
+                  i16_transfer=cfg["profile"] == 1,
+                  i24_transfer=False)
+    out, _ = batch_decode(stream, **dec_kw)
 
     nframes = stream.count(b"\xff\xd0\xd2\x98")
     total_frames = 0
@@ -79,9 +80,7 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
         stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
                               cfg["frame_size"], **kw)
         t1 = time.perf_counter()
-        out, _ = batch_decode(stream, fix_error=bool(cfg.get("ecc")),
-                              compute_dtype=compute_dtype,
-                              i16_transfer=cfg["profile"] == 1)
+        out, _ = batch_decode(stream, **dec_kw)
         t2 = time.perf_counter()
         enc_t += t1 - t0
         dec_t += t2 - t1

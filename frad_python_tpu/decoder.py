@@ -35,7 +35,14 @@ class DecodeResult:
 
     def __init__(self, pcm: list[np.ndarray], srate: int, frames: int, crit: bool):
         chunks = [p for p in pcm if p is not None and p.size]
-        self.pcm = np.concatenate(chunks) if chunks else np.empty((0,))
+        if chunks:
+            self.pcm = np.concatenate(chunks)
+        else:
+            # channel-consistent empty: concatenates cleanly with any
+            # non-empty [T, C] result the same stream produced
+            ch = next((p.shape[1] for p in pcm
+                       if p is not None and p.ndim == 2), 0)
+            self.pcm = np.empty((0, ch))
         self.srate = srate
         self.frames = frames
         self.crit = crit
@@ -146,6 +153,10 @@ class Decoder:
 
     def _flush_overlap(self) -> np.ndarray:
         ret = self.overlap_fragment
+        if not ret.size and self.info[0]:
+            # channel-consistent empty so callers can concatenate
+            # process()/flush() results unconditionally
+            ret = np.empty((0, self.info[0]), dtype=np.float64)
         self.overlap_fragment = np.empty((0, 0), dtype=np.float64)
         self.overlap_prog = 0
         return ret

@@ -67,6 +67,65 @@ def p0_decode_core(freqs) -> jax.Array:
     return _p0_decode_jit(freqs, inv)
 
 
+def p0_encode_pack_core(frames, bits: int, little: bool):
+    """[B, N, C] PCM -> (packed payload words [B, W], maxabs [B] f32).
+
+    Fuses the forward DCT with the on-device truncated-float packing
+    (ops/bitpack.trunc_pack) so the d2h link carries the final payload
+    bytes, not f32 coefficients. `maxabs` drives the host's bit-depth
+    escalation check (reference profile0.py:24-26); frames whose max
+    exceeds the container float's range must fall back to the host path.
+    """
+    frames = jnp.asarray(frames, dtype=jnp.float32)
+    fwd, _ = _mats(frames.shape[1], frames.dtype)
+    return _p0_encode_pack_jit(frames, bits, little, fwd)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "little"))
+def _p0_encode_pack_jit(frames: jax.Array, bits: int, little: bool, fwd):
+    from ..ops import bitpack
+
+    b = frames.shape[0]
+    x = jnp.swapaxes(frames, 1, 2)                 # [B, C, N]
+    y = _dct2_impl(x, _use_matmul(x.shape[-1]), fwd)
+    flat = jnp.swapaxes(y, 1, 2).reshape(b, -1)    # frame-major interleave
+    maxabs = jnp.max(jnp.abs(flat), axis=1)
+    words = bitpack.trunc_pack.__wrapped__(flat, bits, little)
+    return words, maxabs
+
+
+def p0_unpack_decode_core(words, bits: int, little: bool, n: int, ch: int):
+    """Packed payload words [B, W] -> [B, n, ch] PCM: on-device unpack
+    (ops/bitpack.trunc_unpack) fused with the inverse DCT — the h2d link
+    carries the stream's own payload bytes."""
+    words = jnp.asarray(words)
+    _, inv = _mats(n, jnp.float32)
+    return _p0_unpack_decode_jit(words, bits, little, n, ch, inv)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "little", "n", "ch", "i24"))
+def _p0_unpack_decode_jit(words: jax.Array, bits: int, little: bool,
+                          n: int, ch: int, inv, i24: bool = False):
+    from ..ops import bitpack
+
+    flat = bitpack.trunc_unpack.__wrapped__(words, bits, little)
+    freqs = flat.reshape(words.shape[0], n, ch)
+    y = jnp.swapaxes(freqs, 1, 2)
+    x = _idct2_impl(y, _use_matmul(n), inv)
+    pcm = jnp.swapaxes(x, 1, 2)
+    if i24:
+        return bitpack.pcm_to_i24_words(pcm)
+    return pcm
+
+
+def p0_unpack_decode_i24_core(words, bits: int, little: bool, n: int, ch: int):
+    """`p0_unpack_decode_core` returning packed int24 fixed-point PCM words
+    (ops/bitpack.pcm_to_i24_words) — 3 bytes/sample over the d2h link."""
+    words = jnp.asarray(words)
+    _, inv = _mats(n, jnp.float32)
+    return _p0_unpack_decode_jit(words, bits, little, n, ch, inv, i24=True)
+
+
 # ---------------------------------------------------------------------------
 # Profile 1 cores: DCT -> psychoacoustic masking -> power-law quantisation
 # ---------------------------------------------------------------------------

@@ -92,3 +92,105 @@ def words_to_stream(words: np.ndarray, total_bits: int, k: int) -> bytes:
     nbytes = (int(total_bits) + 7) // 8
     raw = words.astype(">u4").tobytes()[:nbytes]
     return bytes([int(k)]) + raw
+
+
+# ---------------------------------------------------------------------------
+# On-device truncated-float packing for the lossless profiles.
+#
+# The lossless payload is each coefficient's IEEE float truncated to the
+# stream depth (reference profile0.py:29-42); packing it ON the device
+# means the d2h link carries 2/3/4 bytes per value instead of a 4-byte
+# f32 plus a full host re-pack pass — on this rig's ~5-60 MB/s tunneled
+# link, that host pass and the extra bytes dominate the lossless
+# pipeline. The emitted words' little-endian host byte stream is
+# byte-identical to ops/packing.pack_floats(x, bits, little).
+# ---------------------------------------------------------------------------
+
+TRUNC_DEVICE_BITS = (16, 24, 32)
+
+
+def _pack_byte_triples(t: jax.Array, msb_first: bool) -> jax.Array:
+    """[B, M] 24-bit values (M % 4 == 0) -> uint32 words [B, M*3//4] whose
+    LE host byte stream is the values' 3-byte serialisation."""
+    b, m = t.shape
+    if msb_first:
+        s = jnp.stack([t >> 16, (t >> 8) & 0xFF, t & 0xFF], axis=-1)
+    else:
+        s = jnp.stack([t & 0xFF, (t >> 8) & 0xFF, t >> 16], axis=-1)
+    s = s.reshape(b, m * 3 // 4, 4)
+    return s[..., 0] | (s[..., 1] << 8) | (s[..., 2] << 16) | (s[..., 3] << 24)
+
+
+def pcm_to_i24_words(pcm: jax.Array) -> jax.Array:
+    """Traced helper: [B, N, C] float PCM -> packed int24 fixed-point words
+    [B, N*C*3//4] (LSB-first triples). Quantisation step 2^-23 puts the
+    transfer noise floor at -138 dB — inaudible against any lossless
+    stream's own storage truncation — while cutting the d2h PCM transfer
+    to 3 bytes/sample."""
+    b = pcm.shape[0]
+    v = jnp.clip(jnp.rint(pcm.astype(jnp.float32) * (1 << 23)),
+                 -(1 << 23), (1 << 23) - 1)
+    t = v.astype(jnp.int32).astype(jnp.uint32) & jnp.uint32(0xFFFFFF)
+    return _pack_byte_triples(t.reshape(b, -1), msb_first=False)
+
+
+def i24_words_to_pcm(words: np.ndarray) -> np.ndarray:
+    """Host inverse of `pcm_to_i24_words`: [B, W] uint32 -> [B, W*4//3]
+    float64 PCM (flat per row; caller reshapes)."""
+    raw = np.frombuffer(words.astype("<u4", copy=False).tobytes(),
+                        dtype=np.uint8).reshape(-1, 3)
+    v = (raw[:, 0].astype(np.int32) | (raw[:, 1].astype(np.int32) << 8)
+         | (raw[:, 2].astype(np.int32) << 16))
+    v = (v ^ 0x800000) - 0x800000
+    return (v.astype(np.float64) * (1.0 / (1 << 23))).reshape(words.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "little"))
+def trunc_pack(x: jax.Array, bits: int, little: bool = False) -> jax.Array:
+    """[B, M] f32 -> packed words whose LE byte stream equals
+    packing.pack_floats(x, bits, little).
+
+    bits=16 -> uint16 [B, M]; bits=24 -> uint32 [B, M*3//4] (M % 4 == 0);
+    bits=32 -> uint32 [B, M].
+    """
+    x = x.astype(jnp.float32)
+    if bits == 16:
+        u = jax.lax.bitcast_convert_type(x.astype(jnp.float16), jnp.uint16)
+        if little:
+            return u
+        return (u >> 8) | (u << 8)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    if bits == 32:
+        if little:
+            return u
+        return ((u >> 24) | ((u >> 8) & 0xFF00)
+                | ((u << 8) & 0xFF0000) | (u << 24))
+    # 24-bit: keep the top 3 bytes of each f32, stream them in big-endian
+    # (or reversed for little) order, 4 values per 3 words.
+    return _pack_byte_triples(u >> 8, msb_first=not little)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "little"))
+def trunc_unpack(words: jax.Array, bits: int, little: bool = False) -> jax.Array:
+    """Inverse of `trunc_pack`: packed words -> [B, M] f32 with NaN/Inf
+    scrubbed to 0 (reference profile0.py:52-66 semantics)."""
+    if bits == 16:
+        u = words if little else (words >> 8) | (words << 8)
+        x = jax.lax.bitcast_convert_type(u, jnp.float16).astype(jnp.float32)
+    elif bits == 32:
+        u = words
+        if not little:
+            u = ((u >> 24) | ((u >> 8) & 0xFF00)
+                 | ((u << 8) & 0xFF0000) | (u << 24))
+        x = jax.lax.bitcast_convert_type(u, jnp.float32)
+    else:
+        b, w = words.shape
+        c = jnp.stack([words & 0xFF, (words >> 8) & 0xFF,
+                       (words >> 16) & 0xFF, words >> 24], axis=-1)
+        c = c.reshape(b, w * 4 // 3, 3)
+        if little:
+            t = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+        else:
+            t = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+        x = jax.lax.bitcast_convert_type(t << 8, jnp.float32)
+    return jnp.where(jnp.isfinite(x), x, jnp.float32(0.0))

@@ -282,6 +282,23 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
 
         # lossless profiles
         if profile == 0:
+            base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
+            if (compute_dtype == "float32"
+                    and base_bits in bitpack.TRUNC_DEVICE_BITS
+                    and (flen * channels) % 4 == 0):
+                # fast path: DCT + truncated-float packing fused on device;
+                # d2h ships the payload bytes themselves (2-4 B/value, no
+                # host re-pack pass). Escalated frames (coefficient beyond
+                # the container float's range) force the generic path.
+                words_d, maxabs_d = batch.p0_encode_pack_core(
+                    arr, base_bits, little_endian)
+                maxabs = np.asarray(maxabs_d)
+                limit = packing.FLOAT_MAX[packing.DEPTHS.index(base_bits)]
+                if np.all(maxabs <= limit):
+                    words = _fetch(words_d)
+                    bdi = packing.DEPTHS.index(base_bits)
+                    return [(words[i].tobytes(), bdi, frs[i][1])
+                            for i in range(len(frs))]
             coeffs = _fetch(batch.p0_encode_core(
                 arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
@@ -352,7 +369,7 @@ def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes], bytes]:
 
 def batch_decode(stream: bytes, *, fix_error: bool = False,
                  workers: int = 4, compute_dtype: str | None = None,
-                 i16_transfer: bool = False,
+                 i16_transfer: bool = False, i24_transfer: bool = False,
                  return_remainder: bool = False):
     """Decode a FrAD byte stream in batched mode.
 
@@ -443,26 +460,45 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
         elif prof in (0, 4):
             bits = packing.DEPTHS[h0.bit_depth_index]
             sizes = {len(p) for p in ps}
-            if bits != 12 and len(sizes) == 1:
-                # equal byte-aligned payloads: one vectorised unpack
-                flat = packing.unpack_floats(b"".join(ps), bits, h0.endian)
-                coeffs = flat.reshape(run, -1, ch)[:, :n, :]
+            if (prof == 0 and compute_dtype == "float32"
+                    and bits in bitpack.TRUNC_DEVICE_BITS
+                    and sizes == {n * ch * bits // 8}
+                    and (n * ch) % 4 == 0):
+                # fast path: ship the payload bytes to the device as packed
+                # words; unpack + IDCT run as one fused kernel (no host
+                # unpack pass, 2-4 B/value over the h2d link).
+                wdt = "<u2" if bits == 16 else "<u4"
+                words = np.frombuffer(b"".join(ps), dtype=wdt).reshape(run, -1)
+                if i24_transfer and bits == 24:
+                    # int24 fixed-point PCM over the link (3 B/sample,
+                    # -138 dB transfer noise floor)
+                    w24 = _fetch(batch.p0_unpack_decode_i24_core(
+                        words, bits, h0.endian, n, ch))
+                    frames = bitpack.i24_words_to_pcm(w24).reshape(run, n, ch)
+                else:
+                    frames = _fetch(batch.p0_unpack_decode_core(
+                        words, bits, h0.endian, n, ch))
             else:
-                def unpack_one(i: int):
-                    flat = packing.unpack_floats(ps[i], bits, h0.endian)
-                    m = (len(flat) // ch) * ch
-                    arr = flat[:m].reshape(-1, ch)
-                    if len(arr) < n:
-                        arr = np.pad(arr, ((0, n - len(arr)), (0, 0)))
-                    return arr[:n]
+                if bits != 12 and len(sizes) == 1:
+                    # equal byte-aligned payloads: one vectorised unpack
+                    flat = packing.unpack_floats(b"".join(ps), bits, h0.endian)
+                    coeffs = flat.reshape(run, -1, ch)[:, :n, :]
+                else:
+                    def unpack_one(i: int):
+                        flat = packing.unpack_floats(ps[i], bits, h0.endian)
+                        m = (len(flat) // ch) * ch
+                        arr = flat[:m].reshape(-1, ch)
+                        if len(arr) < n:
+                            arr = np.pad(arr, ((0, n - len(arr)), (0, 0)))
+                        return arr[:n]
 
-                coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
-            if prof == 0:
-                if compute_dtype:
-                    coeffs = coeffs.astype(compute_dtype)
-                frames = _fetch(batch.p0_decode_core(coeffs))
-            else:
-                frames = coeffs
+                    coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
+                if prof == 0:
+                    if compute_dtype:
+                        coeffs = coeffs.astype(compute_dtype)
+                    frames = _fetch(batch.p0_decode_core(coeffs))
+                else:
+                    frames = coeffs
         elif prof == 2:
             factor = profile2._scale_factor(profile2.DEPTHS[h0.bit_depth_index])
             order1 = 13

@@ -262,3 +262,63 @@ class TestWindow:
         assert c2 == 2
         w = window.hanning_in_overlap(6)
         np.testing.assert_allclose(out2[0, 0], 1 * w[2] + frag[2, 0] * w[3])
+
+
+class TestDevicePack:
+    """On-device truncated-float packing (ops/bitpack.trunc_pack/unpack)
+    must be byte-identical to the host packer (ops/packing), and the int24
+    fixed-point PCM transfer must bound its quantisation error by 2^-24."""
+
+    @pytest.mark.parametrize("bits", [16, 24, 32])
+    @pytest.mark.parametrize("little", [False, True])
+    def test_trunc_pack_matches_host_packer(self, bits, little):
+        from frad_python_tpu.ops import bitpack
+
+        x = (rng.standard_normal((5, 64))
+             * np.exp(rng.uniform(-20, 20, (5, 64)))).astype(np.float32)
+        x[0, 3] = 0.0
+        x[1, 5] = -0.0
+        words = np.asarray(bitpack.trunc_pack(x, bits, little))
+        ref = b"".join(packing.pack_floats(x[i], bits, little)
+                       for i in range(len(x)))
+        assert words.tobytes() == ref
+
+    @pytest.mark.parametrize("bits", [16, 24, 32])
+    @pytest.mark.parametrize("little", [False, True])
+    def test_trunc_unpack_matches_host_unpacker(self, bits, little):
+        from frad_python_tpu.ops import bitpack
+
+        x = rng.standard_normal((3, 32)).astype(np.float32)
+        words = bitpack.trunc_pack(x, bits, little)
+        got = np.asarray(bitpack.trunc_unpack(words, bits, little), np.float64)
+        ref = np.stack([
+            packing.unpack_floats(packing.pack_floats(x[i], bits, little),
+                                  bits, little)
+            for i in range(len(x))])
+        np.testing.assert_array_equal(got, ref)
+
+    def test_trunc_unpack_scrubs_nonfinite(self):
+        from frad_python_tpu.ops import bitpack
+
+        x = np.array([[np.inf, -np.inf, np.nan, 1.5]], dtype=np.float32)
+        words = bitpack.trunc_pack(x, 32, False)
+        got = np.asarray(bitpack.trunc_unpack(words, 32, False))
+        np.testing.assert_array_equal(got, np.array([[0.0, 0.0, 0.0, 1.5]],
+                                                    dtype=np.float32))
+
+    def test_i24_pcm_roundtrip(self):
+        from frad_python_tpu.ops import bitpack
+
+        pcm = np.clip(rng.standard_normal((3, 16, 4)) * 0.4, -0.99, 0.99)
+        words = np.asarray(bitpack.pcm_to_i24_words(pcm.astype(np.float32)))
+        back = bitpack.i24_words_to_pcm(words).reshape(3, 16, 4)
+        assert np.max(np.abs(back - pcm)) < 2.0 ** -23
+
+    def test_i24_clips_out_of_range(self):
+        from frad_python_tpu.ops import bitpack
+
+        pcm = np.array([[[2.0], [-2.0], [0.5], [-0.5]]], dtype=np.float32)
+        back = bitpack.i24_words_to_pcm(
+            np.asarray(bitpack.pcm_to_i24_words(pcm)))
+        np.testing.assert_allclose(back.ravel(),
+                                   [(2**23 - 1) / 2**23, -1.0, 0.5, -0.5])

@@ -285,3 +285,37 @@ class TestBatchDecodeFormatChange:
         assert pcm2.shape == (3000, 1) and sr2 == 48000
         np.testing.assert_array_equal(pcm2, b)
         assert rest2 == b""
+
+
+class TestP0DeviceFastPath:
+    """The fused device pack/unpack fast path (compute_dtype='float32',
+    bits in 16/24/32) must emit byte-identical streams and PCM to the
+    generic host-packed path."""
+
+    @pytest.mark.parametrize("bits", [16, 24, 32])
+    def test_stream_and_pcm_match_generic_path(self, bits, monkeypatch):
+        from frad_python_tpu.ops import bitpack
+        from frad_python_tpu.parallel import batch_decode, batch_encode
+
+        r = np.random.default_rng(7)
+        pcm = (0.4 * np.sin(2 * np.pi * 440 * np.arange(3 * 2048) / 44100)[:, None]
+               * np.ones((1, 2)) + 0.01 * r.standard_normal((3 * 2048, 2)))
+        fast = batch_encode(pcm, 0, 44100, bits, 1024, compute_dtype="float32")
+        out_fast, _ = batch_decode(fast, compute_dtype="float32")
+        monkeypatch.setattr(bitpack, "TRUNC_DEVICE_BITS", ())
+        ref = batch_encode(pcm, 0, 44100, bits, 1024, compute_dtype="float32")
+        out_ref, _ = batch_decode(fast, compute_dtype="float32")
+        assert fast == ref
+        np.testing.assert_array_equal(np.asarray(out_fast, np.float64),
+                                      np.asarray(out_ref, np.float64))
+
+    def test_i24_transfer_quantisation_bound(self):
+        from frad_python_tpu.parallel import batch_decode, batch_encode
+
+        r = np.random.default_rng(8)
+        pcm = np.clip(0.3 * r.standard_normal((4096, 2)), -1, 1)
+        s = batch_encode(pcm, 0, 44100, 24, 1024, compute_dtype="float32")
+        o_f32, _ = batch_decode(s, compute_dtype="float32")
+        o_i24, _ = batch_decode(s, compute_dtype="float32", i24_transfer=True)
+        assert o_f32.shape == o_i24.shape
+        assert np.max(np.abs(o_f32 - o_i24)) < 2.0 ** -23
