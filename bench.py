@@ -32,6 +32,18 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import frad_python_tpu  # noqa: E402,F401  (enables x64, registers package)
+from frad_python_tpu import native  # noqa: E402
+
+if not native.available():
+    # the .so is a build artifact (not committed); without it the host
+    # EGR/RS stages fall back to numpy at ~10x the cost
+    try:
+        from frad_python_tpu.native import build as native_build
+        native_build.build()
+        native.reload()
+    except Exception as e:  # pragma: no cover - toolchain missing
+        print(f"native build skipped: {e}", file=sys.stderr)
+
 from frad_python_tpu.parallel import batch_decode, batch_encode  # noqa: E402
 
 HEADLINE = "p1_stereo_44k1"

@@ -17,27 +17,41 @@ import numpy as np
 _SO = pathlib.Path(__file__).resolve().parent / "libfrad_native.so"
 
 LIB: ctypes.CDLL | None = None
-if not os.environ.get("FRAD_TPU_NO_NATIVE") and _SO.exists():
+
+
+def reload() -> bool:
+    """(Re)load the shared library; returns availability. Called at
+    import, and again by callers that build the .so mid-process
+    (e.g. bench.py on a fresh checkout)."""
+    global LIB
+    LIB = None
+    if os.environ.get("FRAD_TPU_NO_NATIVE") or not _SO.exists():
+        return False
     try:
-        LIB = ctypes.CDLL(str(_SO))
-        LIB.frad_crc16_ansi.restype = ctypes.c_uint16
-        LIB.frad_crc16_ansi.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-        LIB.frad_egr_encode.restype = ctypes.c_size_t
-        LIB.frad_egr_encode.argtypes = [
+        lib = ctypes.CDLL(str(_SO))
+        lib.frad_crc16_ansi.restype = ctypes.c_uint16
+        lib.frad_crc16_ansi.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.frad_egr_encode.restype = ctypes.c_size_t
+        lib.frad_egr_encode.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t, ctypes.c_char_p]
-        LIB.frad_egr_decode.restype = ctypes.c_size_t
-        LIB.frad_egr_decode.argtypes = [
+        lib.frad_egr_decode.restype = ctypes.c_size_t
+        lib.frad_egr_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int64)]
-        LIB.frad_rs_encode_blocks.restype = None
-        LIB.frad_rs_encode_blocks.argtypes = [
+        lib.frad_rs_encode_blocks.restype = None
+        lib.frad_rs_encode_blocks.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_size_t, ctypes.c_char_p]
-        LIB.frad_rs_decode_blocks.restype = None
-        LIB.frad_rs_decode_blocks.argtypes = [
+        lib.frad_rs_decode_blocks.restype = None
+        lib.frad_rs_decode_blocks.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_size_t, ctypes.c_char_p]
     except OSError:
-        LIB = None
+        return False
+    LIB = lib
+    return True
+
+
+reload()
 
 
 def available() -> bool:
