@@ -78,7 +78,7 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
                           cfg["frame_size"], **kw)
     dec_kw = dict(fix_error=bool(cfg.get("ecc")), compute_dtype=compute_dtype,
                   i16_transfer=cfg["profile"] == 1,
-                  i24_transfer=False)
+                  i24_transfer=cfg["profile"] == 0 and cfg["bits"] == 24)
     out, _ = batch_decode(stream, **dec_kw)
 
     nframes = stream.count(b"\xff\xd0\xd2\x98")
@@ -86,7 +86,9 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     enc_t = dec_t = 0.0
     pass_fps = []
     budget = time.perf_counter() + 75.0   # hard per-config cap (link stalls)
-    while (enc_t + dec_t < min_wall or len(pass_fps) < 3) \
+    # the tunnel stalls randomly for seconds at a time; a 5-pass median
+    # (when the budget allows) is much more stable than a 3-pass one
+    while (enc_t + dec_t < min_wall or len(pass_fps) < 5) \
             and (time.perf_counter() < budget or not pass_fps):
         t0 = time.perf_counter()
         stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
