@@ -319,3 +319,20 @@ class TestP0DeviceFastPath:
         o_i24, _ = batch_decode(s, compute_dtype="float32", i24_transfer=True)
         assert o_f32.shape == o_i24.shape
         assert np.max(np.abs(o_f32 - o_i24)) < 2.0 ** -23
+
+    def test_escalation_falls_back_to_generic_path(self, monkeypatch):
+        """A frame whose f32 DCT coefficients exceed the f16 container max
+        (bits=16) must escalate exactly like the host path — the device
+        fast path detects it via the fused maxabs and defers."""
+        from frad_python_tpu.ops import bitpack
+        from frad_python_tpu.parallel import batch_decode, batch_encode
+
+        pcm3 = np.full((4096, 1), 7e4)  # DCT DC coeff ~7e4 > f16 max 65504
+        fast = batch_encode(pcm3, 0, 44100, 16, 2048, compute_dtype="float32")
+        monkeypatch.setattr(bitpack, "TRUNC_DEVICE_BITS", ())
+        ref = batch_encode(pcm3, 0, 44100, 16, 2048, compute_dtype="float32")
+        monkeypatch.undo()
+        assert fast == ref
+        out, _ = batch_decode(fast, compute_dtype="float32")
+        # escalated frames decode losslessly at the deeper container
+        np.testing.assert_allclose(out[: len(pcm3)], pcm3, rtol=1e-3)
