@@ -26,6 +26,12 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+from frad_python_tpu.utils import hostmem  # noqa: E402
+
+# the bench host demand-pages memory at ~0.5 ms/page; keep the heap warm
+# so steady-state passes measure the codec, not the VM's fault handler
+hostmem.tune()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))

@@ -18,6 +18,8 @@ HELP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "help")
 
 def main(argv: list[str] | None = None) -> None:
     signal.signal(signal.SIGINT, lambda *_: sys.exit(1))
+    from ..utils import hostmem
+    hostmem.tune()  # warm-heap allocator for demand-paged VMs
     argv = list(sys.argv if argv is None else argv)
     executable = os.path.basename(argv[0]) if argv else "frad-tpu"
 

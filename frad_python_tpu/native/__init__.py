@@ -45,7 +45,20 @@ def reload() -> bool:
         lib.frad_rs_decode_blocks.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_size_t, ctypes.c_char_p]
-    except OSError:
+        lib.frad_i24_to_f64.restype = None
+        lib.frad_i24_to_f64.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int]
+        lib.frad_i16_to_f64.restype = None
+        lib.frad_i16_to_f64.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.frad_p1_unpack_batch.restype = None
+        lib.frad_p1_unpack_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int]
+    except (OSError, AttributeError):
         return False
     LIB = lib
     return True
@@ -87,6 +100,52 @@ def rs_encode_blocks(data: np.ndarray, nsym: int) -> np.ndarray:
         data.ctypes.data_as(ctypes.c_char_p), nblocks, dsize, nsym,
         parity.ctypes.data_as(ctypes.c_char_p))
     return parity
+
+
+def i24_to_f64(raw: bytes | np.ndarray, nthreads: int = 2) -> np.ndarray:
+    """Packed little-endian int24 triples -> f64 in [-1, 1)."""
+    if isinstance(raw, np.ndarray):
+        raw = np.ascontiguousarray(raw).tobytes()
+    n = len(raw) // 3
+    out = np.empty(n, dtype=np.float64)
+    LIB.frad_i24_to_f64(raw, n, out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out
+
+
+def i16_to_f64(arr: np.ndarray, scale: float = 1.0 / 32768.0,
+               nthreads: int = 2) -> np.ndarray:
+    """int16 array -> f64 * scale (shape preserved)."""
+    arr = np.ascontiguousarray(arr, dtype=np.int16)
+    out = np.empty(arr.shape, dtype=np.float64)
+    LIB.frad_i16_to_f64(arr.ctypes.data_as(ctypes.c_void_p), arr.size, scale,
+                        out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out
+
+
+def p1_unpack_batch(payloads: list[bytes], fq_len: int, tq_len: int,
+                    lq_len: int = 0, nthreads: int = 3
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray]:
+    """Inflate + EGR-decode + untrim a batch of P1/P2 payloads into f32.
+
+    Returns (fq [B, fq_len], tq [B, tq_len], lq [B, lq_len] | None,
+    ok [B] bool). Corrupt frames come back as zero rows with ok=False
+    (the decoder's zero-frame path, reference profile1.py:59-64).
+    """
+    b = len(payloads)
+    blob = b"".join(payloads)
+    offsets = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in payloads], out=offsets[1:])
+    fq = np.empty((b, fq_len), dtype=np.float32)
+    tq = np.empty((b, tq_len), dtype=np.float32)
+    lq = np.empty((b, lq_len), dtype=np.float32) if lq_len else None
+    ok = np.empty(b, dtype=np.uint8)
+    LIB.frad_p1_unpack_batch(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b, fq_len, tq_len, lq_len,
+        fq.ctypes.data_as(ctypes.c_void_p), tq.ctypes.data_as(ctypes.c_void_p),
+        lq.ctypes.data_as(ctypes.c_void_p) if lq is not None else None,
+        ok.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return fq, tq, lq, ok.astype(bool)
 
 
 def rs_decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndarray]:

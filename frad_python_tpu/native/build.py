@@ -14,7 +14,7 @@ OUT = HERE / "libfrad_native.so"
 def build(verbose: bool = True) -> pathlib.Path:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-std=c++17", "-o", str(OUT), str(SRC),
+        "-std=c++17", "-o", str(OUT), str(SRC), "-lz", "-lpthread",
     ]
     if verbose:
         print(" ".join(cmd), file=sys.stderr)

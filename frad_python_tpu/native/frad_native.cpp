@@ -11,6 +11,12 @@
 #include <cstddef>
 #include <cstring>
 
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -380,6 +386,241 @@ void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
             ok[b] = 0;
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Host transfer-format converters. The bench host has 2 cores shared with
+// the PJRT tunnel daemon, so these memory-bound conversions must be single
+// pass (numpy's strided multi-temporary version measured 20+ s on the hi-res
+// config where this loop takes < 0.5 s).
+// ---------------------------------------------------------------------------
+
+static void run_striped(size_t n, int nthreads, void (*fn)(size_t, size_t, void*),
+                        void* ctx) {
+    if (nthreads < 1) nthreads = 1;
+    if ((size_t)nthreads > 1 && n >= 1u << 16) {
+        std::vector<std::thread> ts;
+        size_t per = (n + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++) {
+            size_t lo = per * t, hi = lo + per < n ? lo + per : n;
+            if (lo >= hi) break;
+            ts.emplace_back(fn, lo, hi, ctx);
+        }
+        for (auto& th : ts) th.join();
+    } else {
+        fn(0, n, ctx);
+    }
+}
+
+struct I24Ctx { const uint8_t* raw; double* out; };
+
+static void i24_span(size_t lo, size_t hi, void* vctx) {
+    I24Ctx* c = (I24Ctx*)vctx;
+    const double scale = 1.0 / (double)(1 << 23);
+    const uint8_t* p = c->raw + 3 * lo;
+    for (size_t i = lo; i < hi; i++, p += 3) {
+        int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
+        v = (v ^ 0x800000) - 0x800000;   // sign-extend 24 -> 32
+        c->out[i] = (double)v * scale;
+    }
+}
+
+// Packed little-endian int24 triples -> f64 in [-1, 1) (x / 2^23).
+void frad_i24_to_f64(const uint8_t* raw, size_t nsamples, double* out,
+                     int nthreads) {
+    I24Ctx ctx = {raw, out};
+    run_striped(nsamples, nthreads, i24_span, &ctx);
+}
+
+struct I16Ctx { const int16_t* in; double* out; double scale; };
+
+static void i16_span(size_t lo, size_t hi, void* vctx) {
+    I16Ctx* c = (I16Ctx*)vctx;
+    for (size_t i = lo; i < hi; i++) c->out[i] = (double)c->in[i] * c->scale;
+}
+
+// int16 -> f64 * scale (P1's i16 PCM transfer format, scale = 1/32768).
+void frad_i16_to_f64(const int16_t* in, size_t n, double scale, double* out,
+                     int nthreads) {
+    I16Ctx ctx = {in, out, scale};
+    run_striped(n, nthreads, i16_span, &ctx);
+}
+
+// ---------------------------------------------------------------------------
+// Batched lossy-profile payload unpack: raw-inflate + EGR decode + untrim,
+// one pass per frame, C++ threads. Replaces the per-frame Python chain
+// (zlib.decompress -> egr_decode -> astype -> np.pad -> np.stack) that
+// contends with the PJRT tunnel for the host's 2 cores.
+// Wire format (reference profile1.py:43-50 / profile2.py:48-54):
+//   P1: DEFLATE( [u32be thres_len][thres EGR][freqs EGR] )
+//   P2: DEFLATE( [u16be lpc_len][lpc EGR][u32be thres_len][thres EGR][freqs] )
+// ---------------------------------------------------------------------------
+
+// EGR decode writing at most `cap` symbols as f32 (decoding stops at cap —
+// callers never read past the untrimmed fsize*channels). Mirrors
+// frad_egr_decode above.
+static size_t egr_decode_f32(const uint8_t* bytes, size_t nbytes, float* out,
+                             size_t cap) {
+    if (nbytes < 1 || cap == 0) return 0;
+    const int k = bytes[0];
+    const uint8_t* p = bytes + 1;
+    const size_t n = nbytes - 1;
+    size_t byte_pos = 0;
+    uint64_t acc = 0;
+    int acc_bits = 0;
+    size_t count = 0;
+    const int64_t base = (int64_t)(1ull << k);
+
+    for (;;) {
+        while (acc_bits <= 56 && byte_pos < n) {
+            acc = (acc << 8) | p[byte_pos++];
+            acc_bits += 8;
+        }
+        if (acc_bits == 0) break;
+
+        uint64_t m = 0;
+        while (acc == 0) {
+            m += (uint64_t)acc_bits;
+            acc_bits = 0;
+            if (byte_pos >= n) return count;
+            while (acc_bits <= 56 && byte_pos < n) {
+                acc = (acc << 8) | p[byte_pos++];
+                acc_bits += 8;
+            }
+            if (acc_bits == 0) return count;
+        }
+        int lead = acc_bits - bit_width_u64(acc);
+        m += (uint64_t)lead;
+        acc_bits -= lead;
+
+        uint64_t need = m + (uint64_t)k + 1;
+        uint64_t v;
+        if (need <= 57) {
+            while ((uint64_t)acc_bits < need && byte_pos < n) {
+                acc = (acc << 8) | p[byte_pos++];
+                acc_bits += 8;
+            }
+            uint64_t take = need < (uint64_t)acc_bits ? need : (uint64_t)acc_bits;
+            v = (acc >> (acc_bits - (int)take)) & ((take == 64) ? ~0ull : ((1ull << take) - 1));
+            acc_bits -= (int)take;
+            acc &= (acc_bits == 64) ? ~0ull : ((1ull << acc_bits) - 1);
+        } else {
+            v = 0;
+            uint64_t got = 0;
+            while (got < need) {
+                if (acc_bits == 0) {
+                    if (byte_pos >= n) break;
+                    acc = p[byte_pos++];
+                    acc_bits = 8;
+                }
+                v = (v << 1) | ((acc >> (acc_bits - 1)) & 1);
+                acc_bits--;
+                acc &= (1ull << acc_bits) - 1;
+                got++;
+            }
+        }
+        int64_t nval = (int64_t)v - base;
+        int64_t sym = (nval & 1) ? ((nval + 1) >> 1) : -(nval >> 1);
+        out[count++] = (float)sym;
+        if (count >= cap) return count;
+    }
+    return count;
+}
+
+// Raw (wbits=-15) inflate into a growable buffer. Mirrors Python
+// zlib.decompress: any error or missing stream end -> false.
+static bool raw_inflate(const uint8_t* src, size_t n, std::vector<uint8_t>& dst) {
+    z_stream zs;
+    memset(&zs, 0, sizeof zs);
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    size_t capgr = n * 4 + 1024;
+    dst.resize(capgr);
+    zs.next_in = const_cast<Bytef*>(src);
+    zs.avail_in = (uInt)n;
+    int ret;
+    for (;;) {
+        if (zs.total_out == dst.size()) dst.resize(dst.size() * 2);
+        zs.next_out = dst.data() + zs.total_out;
+        zs.avail_out = (uInt)(dst.size() - zs.total_out);
+        ret = inflate(&zs, Z_FINISH);
+        if (ret == Z_STREAM_END) break;
+        if (ret == Z_BUF_ERROR && zs.avail_out == 0) continue;  // grow
+        inflateEnd(&zs);
+        return false;                       // corrupt or truncated
+    }
+    dst.resize(zs.total_out);
+    inflateEnd(&zs);
+    return true;
+}
+
+struct P1Ctx {
+    const uint8_t* payloads;
+    const int64_t* offsets;
+    int64_t nframes, fq_len, tq_len, lq_len;
+    float *fq, *tq, *lq;
+    uint8_t* ok;
+    std::atomic<int64_t>* next;
+};
+
+static void p1_unpack_worker(P1Ctx* c) {
+    std::vector<uint8_t> buf;
+    for (;;) {
+        int64_t i = c->next->fetch_add(1);
+        if (i >= c->nframes) return;
+        float* fqr = c->fq + i * c->fq_len;
+        float* tqr = c->tq + i * c->tq_len;
+        float* lqr = c->lq_len ? c->lq + i * c->lq_len : nullptr;
+        memset(fqr, 0, sizeof(float) * c->fq_len);
+        memset(tqr, 0, sizeof(float) * c->tq_len);
+        if (lqr) memset(lqr, 0, sizeof(float) * c->lq_len);
+        c->ok[i] = 0;
+
+        const uint8_t* src = c->payloads + c->offsets[i];
+        size_t len = (size_t)(c->offsets[i + 1] - c->offsets[i]);
+        if (!raw_inflate(src, len, buf)) continue;
+        const uint8_t* q = buf.data();
+        size_t m = buf.size(), off = 0;
+
+        if (c->lq_len) {                     // P2: [u16be lpc_len][lpc]
+            if (m < 6) continue;             // reference profile2.py:47-48
+            size_t ll = ((size_t)q[0] << 8) | q[1];
+            off = 2;
+            if (ll > m - off) ll = m - off;  // short slice, like Python's
+            egr_decode_f32(q + off, ll, lqr, (size_t)c->lq_len);
+            off += ll;
+        }
+        if (m - off < 4) continue;           // reference profile1.py layout
+        size_t tl = ((size_t)q[off] << 24) | ((size_t)q[off + 1] << 16)
+                  | ((size_t)q[off + 2] << 8) | q[off + 3];
+        off += 4;
+        if (tl > m - off) tl = m - off;
+        egr_decode_f32(q + off, tl, tqr, (size_t)c->tq_len);
+        off += tl;
+        egr_decode_f32(q + off, m - off, fqr, (size_t)c->fq_len);
+        c->ok[i] = 1;
+    }
+}
+
+// Unpack `nframes` DEFLATEd lossy payloads into zero-padded f32 rows:
+// fq [nframes, fq_len], tq [nframes, tq_len], lq [nframes, lq_len]
+// (lq_len == 0 -> profile-1 layout, lq may be null). ok[i] = 1 when the
+// frame inflated cleanly, else the rows stay zero (decoder's zero-frame
+// path, reference profile1.py:59-64).
+void frad_p1_unpack_batch(const uint8_t* payloads, const int64_t* offsets,
+                          int64_t nframes, int64_t fq_len, int64_t tq_len,
+                          int64_t lq_len, float* fq, float* tq, float* lq,
+                          uint8_t* ok, int nthreads) {
+    std::atomic<int64_t> next(0);
+    P1Ctx ctx = {payloads, offsets, nframes, fq_len, tq_len, lq_len,
+                 fq, tq, lq, ok, &next};
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || nframes < 8) {
+        p1_unpack_worker(&ctx);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(p1_unpack_worker, &ctx);
+    for (auto& th : ts) th.join();
 }
 
 } // extern "C"

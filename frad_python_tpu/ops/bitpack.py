@@ -137,10 +137,15 @@ def pcm_to_i24_words(pcm: jax.Array) -> jax.Array:
 def i24_words_to_pcm(words: np.ndarray) -> np.ndarray:
     """Host inverse of `pcm_to_i24_words`: [B, W] uint32 -> [B, W*4//3]
     float64 PCM (flat per row; caller reshapes)."""
-    raw = np.frombuffer(words.astype("<u4", copy=False).tobytes(),
-                        dtype=np.uint8).reshape(-1, 3)
-    v = (raw[:, 0].astype(np.int32) | (raw[:, 1].astype(np.int32) << 8)
-         | (raw[:, 2].astype(np.int32) << 16))
+    from .. import native
+    raw = words.astype("<u4", copy=False).tobytes()
+    if native.available():
+        # single-pass C++ (the numpy fallback's strided temporaries cost
+        # 20+ s on the hi-res config where the C++ loop takes < 0.5 s)
+        return native.i24_to_f64(raw).reshape(words.shape[0], -1)
+    u8 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+    v = (u8[:, 0].astype(np.int32) | (u8[:, 1].astype(np.int32) << 8)
+         | (u8[:, 2].astype(np.int32) << 16))
     v = (v ^ 0x800000) - 0x800000
     return (v.astype(np.float64) * (1.0 / (1 << 23))).reshape(words.shape[0], -1)
 

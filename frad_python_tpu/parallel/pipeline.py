@@ -21,6 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from .. import native
 from ..container import ecc as ecc_mod
 from ..container.asfh import ASFH
 from ..decoder import Decoder
@@ -428,21 +429,29 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
         if prof == 1:
             factor = profile1._scale_factor(profile1.DEPTHS[h0.bit_depth_index])
 
-            def unpack_one(i: int):
-                s = profile1.unpack_streams(ps[i])
-                if s is None:
-                    return (np.zeros(n * ch), np.zeros(27 * ch))
-                fi, ti = s
-                fi = profile1._untrim(fi.astype(np.float64), n, ch)[: n * ch]
-                ti = profile1._untrim(ti.astype(np.float64), 27, ch)[: 27 * ch]
-                return fi, ti
+            if native.available() and compute_dtype == "float32":
+                # one C++ pass: inflate + EGR + untrim straight into the
+                # [B, n*ch] f32 upload buffers (no per-frame Python churn
+                # contending with the PJRT tunnel for the host cores)
+                fqf, tqf, _, _ok = native.p1_unpack_batch(ps, n * ch, 27 * ch)
+                fq = fqf.reshape(run, n, ch)
+                tq = tqf.reshape(run, 27, ch)
+            else:
+                def unpack_one(i: int):
+                    s = profile1.unpack_streams(ps[i])
+                    if s is None:
+                        return (np.zeros(n * ch), np.zeros(27 * ch))
+                    fi, ti = s
+                    fi = profile1._untrim(fi.astype(np.float64), n, ch)[: n * ch]
+                    ti = profile1._untrim(ti.astype(np.float64), 27, ch)[: 27 * ch]
+                    return fi, ti
 
-            unpacked = list(_pool().map(unpack_one, range(run)))
-            fq = np.stack([u[0].reshape(n, ch) for u in unpacked])
-            tq = np.stack([u[1].reshape(27, ch) for u in unpacked])
-            if compute_dtype:
-                fq = fq.astype(compute_dtype)
-                tq = tq.astype(compute_dtype)
+                unpacked = list(_pool().map(unpack_one, range(run)))
+                fq = np.stack([u[0].reshape(n, ch) for u in unpacked])
+                tq = np.stack([u[1].reshape(27, ch) for u in unpacked])
+                if compute_dtype:
+                    fq = fq.astype(compute_dtype)
+                    tq = tq.astype(compute_dtype)
             if h0.overlap_ratio > 1:
                 cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
             else:
@@ -453,7 +462,10 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
                                                     olap, cut, i16)
             out_h = _fetch(out_d)
             if i16:
-                out_h = out_h.astype(np.float64) / 32768.0
+                if native.available():
+                    out_h = native.i16_to_f64(out_h).reshape(out_h.shape)
+                else:
+                    out_h = out_h.astype(np.float64) / 32768.0
             out_parts.append(out_h.reshape(-1, ch))
             frag = np.asarray(frag_d, dtype=np.float64)
             frames = None  # handled (fused path)
@@ -503,24 +515,31 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
             factor = profile2._scale_factor(profile2.DEPTHS[h0.bit_depth_index])
             order1 = 13
 
-            def unpack_one2(i: int):
-                st = profile2.unpack_streams(ps[i])
-                if st is None:
-                    return (np.zeros(n * ch), np.zeros(27 * ch), np.zeros(order1 * ch))
-                fi, ti, li = st
-                fi = profile1._untrim(fi.astype(np.float64), n, ch)[: n * ch]
-                ti = profile1._untrim(ti.astype(np.float64), 27, ch)[: 27 * ch]
-                li = profile1._untrim(li.astype(np.float64), order1, ch)[: order1 * ch]
-                return fi, ti, li
+            if native.available() and compute_dtype == "float32":
+                fqf, tqf, lqf, _ok = native.p1_unpack_batch(
+                    ps, n * ch, 27 * ch, order1 * ch)
+                fq = fqf.reshape(run, n, ch)
+                tq = tqf.reshape(run, 27, ch)
+                lq = lqf.reshape(run, order1, ch)
+            else:
+                def unpack_one2(i: int):
+                    st = profile2.unpack_streams(ps[i])
+                    if st is None:
+                        return (np.zeros(n * ch), np.zeros(27 * ch), np.zeros(order1 * ch))
+                    fi, ti, li = st
+                    fi = profile1._untrim(fi.astype(np.float64), n, ch)[: n * ch]
+                    ti = profile1._untrim(ti.astype(np.float64), 27, ch)[: 27 * ch]
+                    li = profile1._untrim(li.astype(np.float64), order1, ch)[: order1 * ch]
+                    return fi, ti, li
 
-            unpacked = list(_pool().map(unpack_one2, range(run)))
-            fq = np.stack([u[0].reshape(n, ch) for u in unpacked])
-            tq = np.stack([u[1].reshape(27, ch) for u in unpacked])
-            lq = np.stack([u[2].reshape(order1, ch) for u in unpacked])
-            if compute_dtype:
-                fq = fq.astype(compute_dtype)
-                tq = tq.astype(compute_dtype)
-                lq = lq.astype(compute_dtype)
+                unpacked = list(_pool().map(unpack_one2, range(run)))
+                fq = np.stack([u[0].reshape(n, ch) for u in unpacked])
+                tq = np.stack([u[1].reshape(27, ch) for u in unpacked])
+                lq = np.stack([u[2].reshape(order1, ch) for u in unpacked])
+                if compute_dtype:
+                    fq = fq.astype(compute_dtype)
+                    tq = tq.astype(compute_dtype)
+                    lq = lq.astype(compute_dtype)
             frames = _fetch(batch.p2_decode_core(fq, tq, lq, h0.srate, factor))
         else:
             frames = None  # reserved profiles: stream everything

@@ -15,3 +15,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from frad_python_tpu.utils import hostmem  # noqa: E402
+
+hostmem.tune()
