@@ -94,6 +94,26 @@ def _p0_encode_pack_jit(frames: jax.Array, bits: int, little: bool, fwd):
     return words, maxabs
 
 
+def p0_encode_pack_core_i24(words, bits: int, little: bool, n: int, ch: int):
+    """i24-upload variant of `p0_encode_pack_core`: [B, n*ch*3//4] uint32
+    packed int24 PCM words -> (payload words, maxabs). The h2d link
+    carries 3 bytes/sample instead of a 4-byte f32 (the i24 step is
+    -138 dB, far under the 24-bit container's own truncation)."""
+    words = jnp.asarray(words)
+    fwd, _ = _mats(n, jnp.float32)
+    return _p0_encode_pack_i24_jit(words, bits, little, n, ch, fwd)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "little", "n", "ch"))
+def _p0_encode_pack_i24_jit(words: jax.Array, bits: int, little: bool,
+                            n: int, ch: int, fwd):
+    from ..ops import bitpack
+
+    b = words.shape[0]
+    frames = bitpack.i24_words_to_pcm_device(words).reshape(b, n, ch)
+    return _p0_encode_pack_jit.__wrapped__(frames, bits, little, fwd)
+
+
 def p0_unpack_decode_core(words, bits: int, little: bool, n: int, ch: int):
     """Packed payload words [B, W] -> [B, n, ch] PCM: on-device unpack
     (ops/bitpack.trunc_unpack) fused with the inverse DCT — the h2d link
@@ -163,6 +183,25 @@ def _p1_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
     ).astype(idt)
 
     return jnp.swapaxes(freqs_q, 1, 2), jnp.swapaxes(thres_q, 1, 2)
+
+
+def p1_encode_core_i16(frames_i16, srate: int, loss_level, factor):
+    """i16-upload variant of `p1_encode_core`: [B, N, C] int16 PCM
+    (x * 32768) -> same outputs. Halves the encode h2d transfer; the
+    -96 dB quantisation floor is inaudible against the lossy profile's
+    masking-dominated noise."""
+    frames_i16 = jnp.asarray(frames_i16)
+    fwd, _ = _mats(frames_i16.shape[1], jnp.float32)
+    return _p1_encode_i16_jit(frames_i16, srate,
+                              jnp.asarray(loss_level, jnp.float32),
+                              jnp.asarray(factor, jnp.float32), fwd)
+
+
+@functools.partial(jax.jit, static_argnames=("srate",))
+def _p1_encode_i16_jit(frames_i16: jax.Array, srate: int, loss_level: jax.Array,
+                       factor: jax.Array, fwd):
+    frames = frames_i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return _p1_encode_jit.__wrapped__(frames, srate, loss_level, factor, fwd)
 
 
 def p1_decode_core(freqs_flat, thres_flat, srate: int, factor) -> jax.Array:

@@ -19,47 +19,72 @@ _SO = pathlib.Path(__file__).resolve().parent / "libfrad_native.so"
 LIB: ctypes.CDLL | None = None
 
 
+# (symbol name, restype, argtypes). CORE symbols must all bind or the
+# library is rejected; OPTIONAL ones (added after round 1) bind
+# individually so a stale prebuilt .so keeps its older fast paths —
+# callers gate on `has(name)`.
+_C = ctypes
+_CORE_SYMBOLS = [
+    ("frad_crc16_ansi", _C.c_uint16, [_C.c_char_p, _C.c_size_t]),
+    ("frad_egr_encode", _C.c_size_t,
+     [_C.POINTER(_C.c_int64), _C.c_size_t, _C.c_char_p]),
+    ("frad_egr_decode", _C.c_size_t,
+     [_C.c_char_p, _C.c_size_t, _C.POINTER(_C.c_int64)]),
+    ("frad_rs_encode_blocks", None,
+     [_C.c_char_p, _C.c_size_t, _C.c_size_t, _C.c_size_t, _C.c_char_p]),
+    ("frad_rs_decode_blocks", None,
+     [_C.c_char_p, _C.c_size_t, _C.c_size_t, _C.c_size_t, _C.c_char_p]),
+]
+_OPTIONAL_SYMBOLS = [
+    ("frad_i24_to_f64", None,
+     [_C.c_char_p, _C.c_size_t, _C.c_void_p, _C.c_int]),
+    ("frad_i16_to_f64", None,
+     [_C.c_void_p, _C.c_size_t, _C.c_double, _C.c_void_p, _C.c_int]),
+    ("frad_f64_to_i24", None,
+     [_C.c_void_p, _C.c_size_t, _C.c_void_p, _C.c_int]),
+    ("frad_f64_to_i16", None,
+     [_C.c_void_p, _C.c_size_t, _C.c_double, _C.c_void_p, _C.c_int]),
+    ("frad_p1_unpack_batch", None,
+     [_C.c_char_p, _C.POINTER(_C.c_int64),
+      _C.c_int64, _C.c_int64, _C.c_int64, _C.c_int64,
+      _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_int]),
+]
+
+_missing: set[str] = set()
+_warned = False
+
+
 def reload() -> bool:
     """(Re)load the shared library; returns availability. Called at
     import, and again by callers that build the .so mid-process
     (e.g. bench.py on a fresh checkout)."""
-    global LIB
+    global LIB, _missing, _warned
     LIB = None
+    _missing = set()
     if os.environ.get("FRAD_TPU_NO_NATIVE") or not _SO.exists():
         return False
     try:
         lib = ctypes.CDLL(str(_SO))
-        lib.frad_crc16_ansi.restype = ctypes.c_uint16
-        lib.frad_crc16_ansi.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-        lib.frad_egr_encode.restype = ctypes.c_size_t
-        lib.frad_egr_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t, ctypes.c_char_p]
-        lib.frad_egr_decode.restype = ctypes.c_size_t
-        lib.frad_egr_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int64)]
-        lib.frad_rs_encode_blocks.restype = None
-        lib.frad_rs_encode_blocks.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
-            ctypes.c_size_t, ctypes.c_char_p]
-        lib.frad_rs_decode_blocks.restype = None
-        lib.frad_rs_decode_blocks.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
-            ctypes.c_size_t, ctypes.c_char_p]
-        lib.frad_i24_to_f64.restype = None
-        lib.frad_i24_to_f64.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int]
-        lib.frad_i16_to_f64.restype = None
-        lib.frad_i16_to_f64.argtypes = [
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
-            ctypes.c_void_p, ctypes.c_int]
-        lib.frad_p1_unpack_batch.restype = None
-        lib.frad_p1_unpack_batch.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int]
+        for name, restype, argtypes in _CORE_SYMBOLS:
+            fn = getattr(lib, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
     except (OSError, AttributeError):
         return False
+    for name, restype, argtypes in _OPTIONAL_SYMBOLS:
+        try:
+            fn = getattr(lib, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+        except AttributeError:
+            _missing.add(name)
+    if _missing and not _warned:
+        _warned = True
+        import warnings
+        warnings.warn(
+            "libfrad_native.so is stale (missing: %s); rebuild with "
+            "`python -m frad_python_tpu.native.build` for the full fast "
+            "path" % ", ".join(sorted(_missing)), RuntimeWarning)
     LIB = lib
     return True
 
@@ -69,6 +94,11 @@ reload()
 
 def available() -> bool:
     return LIB is not None
+
+
+def has(symbol: str) -> bool:
+    """True when the loaded .so exports `symbol` (stale builds may not)."""
+    return LIB is not None and symbol not in _missing
 
 
 def crc16_ansi(data: bytes) -> int:
@@ -106,9 +136,31 @@ def i24_to_f64(raw: bytes | np.ndarray, nthreads: int = 2) -> np.ndarray:
     """Packed little-endian int24 triples -> f64 in [-1, 1)."""
     if isinstance(raw, np.ndarray):
         raw = np.ascontiguousarray(raw).tobytes()
+    if len(raw) % 3:
+        # match the numpy fallback's reshape(-1, 3) strictness
+        raise ValueError(f"i24 byte stream length {len(raw)} not a multiple of 3")
     n = len(raw) // 3
     out = np.empty(n, dtype=np.float64)
     LIB.frad_i24_to_f64(raw, n, out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out
+
+
+def f64_to_i24(pcm: np.ndarray, nthreads: int = 2) -> np.ndarray:
+    """f64 PCM -> packed little-endian int24 triples as uint8 [n*3]."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.float64)
+    out = np.empty(pcm.size * 3, dtype=np.uint8)
+    LIB.frad_f64_to_i24(pcm.ctypes.data_as(ctypes.c_void_p), pcm.size,
+                        out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out
+
+
+def f64_to_i16(pcm: np.ndarray, scale: float = 32768.0,
+               nthreads: int = 2) -> np.ndarray:
+    """f64 PCM -> clamped int16 (x * scale), shape preserved."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.float64)
+    out = np.empty(pcm.shape, dtype=np.int16)
+    LIB.frad_f64_to_i16(pcm.ctypes.data_as(ctypes.c_void_p), pcm.size, scale,
+                        out.ctypes.data_as(ctypes.c_void_p), nthreads)
     return out
 
 

@@ -7,6 +7,7 @@
 //
 // Build: python -m frad_python_tpu.native.build   (g++ -O3 -shared -fPIC)
 
+#include <cmath>
 #include <cstdint>
 #include <cstddef>
 #include <cstring>
@@ -446,6 +447,50 @@ void frad_i16_to_f64(const int16_t* in, size_t n, double scale, double* out,
     run_striped(n, nthreads, i16_span, &ctx);
 }
 
+struct F64I24Ctx { const double* in; uint8_t* out; };
+
+static void f64_i24_span(size_t lo, size_t hi, void* vctx) {
+    F64I24Ctx* c = (F64I24Ctx*)vctx;
+    const double scale = (double)(1 << 23);
+    uint8_t* p = c->out + 3 * lo;
+    for (size_t i = lo; i < hi; i++, p += 3) {
+        long long v = llrint(c->in[i] * scale);   // nearest-even, like np.rint
+        if (v > 0x7FFFFF) v = 0x7FFFFF;
+        if (v < -0x800000) v = -0x800000;
+        uint32_t u = (uint32_t)v & 0xFFFFFF;
+        p[0] = (uint8_t)(u & 0xFF);
+        p[1] = (uint8_t)((u >> 8) & 0xFF);
+        p[2] = (uint8_t)(u >> 16);
+    }
+}
+
+// f64 PCM in [-1, 1) -> packed little-endian int24 triples (x * 2^23).
+// Inverse of frad_i24_to_f64; the encode-upload transfer format.
+void frad_f64_to_i24(const double* in, size_t nsamples, uint8_t* out,
+                     int nthreads) {
+    F64I24Ctx ctx = {in, out};
+    run_striped(nsamples, nthreads, f64_i24_span, &ctx);
+}
+
+struct F64I16Ctx { const double* in; int16_t* out; double scale; };
+
+static void f64_i16_span(size_t lo, size_t hi, void* vctx) {
+    F64I16Ctx* c = (F64I16Ctx*)vctx;
+    for (size_t i = lo; i < hi; i++) {
+        long long v = llrint(c->in[i] * c->scale);
+        if (v > 32767) v = 32767;
+        if (v < -32768) v = -32768;
+        c->out[i] = (int16_t)v;
+    }
+}
+
+// f64 PCM -> int16 * scale (P1's i16 upload format, scale = 32768).
+void frad_f64_to_i16(const double* in, size_t n, double scale, int16_t* out,
+                     int nthreads) {
+    F64I16Ctx ctx = {in, out, scale};
+    run_striped(n, nthreads, f64_i16_span, &ctx);
+}
+
 // ---------------------------------------------------------------------------
 // Batched lossy-profile payload unpack: raw-inflate + EGR decode + untrim,
 // one pass per frame, C++ threads. Replaces the per-frame Python chain
@@ -581,15 +626,20 @@ static void p1_unpack_worker(P1Ctx* c) {
         const uint8_t* q = buf.data();
         size_t m = buf.size(), off = 0;
 
-        if (c->lq_len) {                     // P2: [u16be lpc_len][lpc]
+        const uint8_t* lq_src = nullptr;     // decode deferred until the
+        size_t lq_src_len = 0;               // whole layout validates, so
+        if (c->lq_len) {                     // early-continue paths leave
+            // P2: [u16be lpc_len][lpc]      // lqr at its zero contract
             if (m < 6) continue;             // reference profile2.py:47-48
             size_t ll = ((size_t)q[0] << 8) | q[1];
             off = 2;
             if (ll > m - off) ll = m - off;  // short slice, like Python's
-            egr_decode_f32(q + off, ll, lqr, (size_t)c->lq_len);
+            lq_src = q + off;
+            lq_src_len = ll;
             off += ll;
         }
         if (m - off < 4) continue;           // reference profile1.py layout
+        if (lq_src) egr_decode_f32(lq_src, lq_src_len, lqr, (size_t)c->lq_len);
         size_t tl = ((size_t)q[off] << 24) | ((size_t)q[off + 1] << 16)
                   | ((size_t)q[off + 2] << 8) | q[off + 3];
         off += 4;

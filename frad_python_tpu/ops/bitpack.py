@@ -134,12 +134,42 @@ def pcm_to_i24_words(pcm: jax.Array) -> jax.Array:
     return _pack_byte_triples(t.reshape(b, -1), msb_first=False)
 
 
+def i24_words_to_pcm_device(words: jax.Array) -> jax.Array:
+    """Traced inverse of `pcm_to_i24_words` ON the device: [B, W] uint32
+    packed LSB-first int24 triples -> [B, W*4//3] f32 PCM. Used by the
+    i24-upload encode path so the h2d link carries 3 bytes/sample."""
+    b, w = words.shape
+    c = jnp.stack([words & 0xFF, (words >> 8) & 0xFF,
+                   (words >> 16) & 0xFF, words >> 24], axis=-1)
+    c = c.reshape(b, w * 4 // 3, 3)
+    t = (c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)).astype(jnp.int32)
+    v = (t ^ jnp.int32(0x800000)) - jnp.int32(0x800000)
+    return v.astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+
+def pcm_to_i24_words_host(pcm: np.ndarray) -> np.ndarray:
+    """Host forward pack: f64 PCM (flat, size % 4 == 0) -> uint32 words
+    matching `pcm_to_i24_words`'s layout, for the encode upload path."""
+    from .. import native
+    flat = np.ascontiguousarray(pcm, dtype=np.float64).reshape(-1)
+    if native.has("frad_f64_to_i24"):
+        tri = native.f64_to_i24(flat)
+    else:
+        v = np.clip(np.rint(flat * (1 << 23)), -(1 << 23), (1 << 23) - 1)
+        u = v.astype(np.int64).astype(np.uint32) & np.uint32(0xFFFFFF)
+        tri = np.empty(flat.size * 3, dtype=np.uint8)
+        tri[0::3] = u & 0xFF
+        tri[1::3] = (u >> 8) & 0xFF
+        tri[2::3] = u >> 16
+    return tri.view("<u4")
+
+
 def i24_words_to_pcm(words: np.ndarray) -> np.ndarray:
     """Host inverse of `pcm_to_i24_words`: [B, W] uint32 -> [B, W*4//3]
     float64 PCM (flat per row; caller reshapes)."""
     from .. import native
     raw = words.astype("<u4", copy=False).tobytes()
-    if native.available():
+    if native.has("frad_i24_to_f64"):
         # single-pass C++ (the numpy fallback's strided temporaries cost
         # 20+ s on the hi-res config where the C++ loop takes < 0.5 s)
         return native.i24_to_f64(raw).reshape(words.shape[0], -1)

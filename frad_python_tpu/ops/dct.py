@@ -27,9 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Largest N for which the NxN matmul formulation is used. 4096^2 f32 = 64 MiB
-# per matrix: fits HBM comfortably, streams through the MXU.
-MATMUL_MAX_N = 4096
+# Largest N for which the NxN matmul formulation is used. 8192^2 f32 = 256 MiB
+# per matrix: fits HBM comfortably, streams through the MXU (measured
+# 22 ms for [2816, 8192] @ [8192, 8192] on the v5e — dispatch-latency
+# bound, not compute). Matmul also compiles ~6x faster than the chunked
+# FFT program, which matters on a cold persistent-compile cache.
+MATMUL_MAX_N = 8192
 
 # XLA:TPU silently miscompiles very large FFT batches (observed: wrong
 # results for ~2800 x 8192-point c64 FFTs, correct when chunked). Cap the
@@ -109,6 +112,31 @@ def _fft_idct2(yu: jax.Array) -> jax.Array:
     return x
 
 
+@functools.lru_cache(maxsize=8)
+def _device_matrix_maker(n: int):
+    """Jitted on-device builder of the f32 (forward, inverse) DCT matrices.
+
+    The cosine argument is reduced with EXACT int32 arithmetic
+    (k*(2t+1) mod 4n, products < 2^31 for every FrAD frame size, so the
+    angle is < 2*pi before any float rounding) — measured 4e-7 max cos
+    deviation from the host f64 build at n=8192, i.e. one f32 ulp.
+    Building on device avoids uploading up to 256 MB over the
+    ~40 MB/s tunnel at first use.
+    """
+
+    def make():
+        k = jnp.arange(n, dtype=jnp.int32)[:, None]
+        t = jnp.arange(n, dtype=jnp.int32)[None, :]
+        m = (k * (2 * t + 1)) % (4 * n)
+        cos = jnp.cos(jnp.float32(np.pi / (2.0 * n)) * m.astype(jnp.float32))
+        fwd = (cos / jnp.float32(n)).T
+        w = jnp.where(k == 0, 1.0, 2.0).astype(jnp.float32)
+        inv = w * cos
+        return fwd, inv
+
+    return jax.jit(make)
+
+
 @functools.lru_cache(maxsize=64)
 def device_matrices(n: int, dtype_name: str) -> tuple[jax.Array, jax.Array]:
     """(forward, inverse) DCT matrices resident on the default device.
@@ -117,7 +145,13 @@ def device_matrices(n: int, dtype_name: str) -> tuple[jax.Array, jax.Array]:
     constants — a 16-64 MB HLO constant makes XLA constant-fold for tens
     of seconds per compiled shape; as parameters, compiles are fast and
     the persistent compilation cache stays effective.
+
+    f32 matrices are generated ON the device (`_device_matrix_maker`);
+    f64 (CPU backend) builds on host where f64 cos is native.
     """
+    if np.dtype(dtype_name) == np.float32 and jax.default_backend() != "cpu":
+        fwd, inv = _device_matrix_maker(n)()
+        return fwd, inv
     fwd, inv = _dct_matrices(n, dtype_name)
     return jax.device_put(fwd), jax.device_put(inv)
 

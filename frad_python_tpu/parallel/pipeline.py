@@ -2,14 +2,22 @@
 
 The streaming engines (encoder.py/decoder.py) process one frame per call;
 this module is the TPU-first fast path: it plans every frame of a stream
-up front, runs the tensor domain as ONE batched jitted core call
+up front, runs the tensor domain as batched jitted core calls
 ([B, N, C] through models/batch.py), and finishes the byte domain
-(EGR/DEFLATE/RS/ASFH) on the host — optionally threaded, since the
-native codecs and zlib release the GIL.
+(EGR/DEFLATE/RS/ASFH) on the host — threaded, since the native codecs
+and zlib release the GIL.
+
+Transfer design (the tunneled PJRT link is the bottleneck — see
+docs/PERFORMANCE.md): big batches are split into row chunks that are
+uploaded, computed, and downloaded CONCURRENTLY. The link is full-duplex
+(measured: 69 MB h2d + 69 MB d2h overlap to ~the max of the two), and
+8-way concurrent transfers in either direction sustain ~2-5x the
+single-stream bandwidth, so the chunk pipeline turns
+`h2d + compute + d2h` into `max(h2d, d2h) + small`.
 
 Output is byte-exact with the streaming Encoder fed by process()+flush()
-(tested in tests/test_parallel.py): same frame boundaries, same overlap
-fragments, same force-flush terminators.
+at the default compute dtype (tested in tests/test_parallel.py): same
+frame boundaries, same overlap fragments, same force-flush terminators.
 """
 
 from __future__ import annotations
@@ -22,19 +30,35 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from .. import native
+from ..common import FRM_SIGN
 from ..container import ecc as ecc_mod
-from ..container.asfh import ASFH
+from ..container.asfh import ASFH, COMPLETE, FORCE_FLUSH
 from ..decoder import Decoder
 from ..models import COMPACT, batch, profile1, profile2
 from ..models.profiles import compact
 from ..ops import bitpack, golomb, packing, policy
+from ..ops.window import hanning_in_overlap
+from ..utils.tracing import StageTimer
 
 DEFAULT_ECC_RATIO = (96, 24)
+
+#: when set, pipeline stages accumulate wall-clock here (bench.py wires a
+#: timer in and prints the per-stage breakdown to stderr)
+STAGES: StageTimer | None = None
+
+
+def _stage(name: str):
+    if STAGES is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return STAGES.stage(name)
 
 
 @functools.lru_cache(maxsize=1)
 def _pool() -> ThreadPoolExecutor:
-    """Shared host-work pool (native EGR/RS and zlib release the GIL)."""
+    """Shared host-work pool (native EGR/RS and zlib release the GIL, and
+    concurrent device transfers multiply the tunnel's bandwidth)."""
     return ThreadPoolExecutor(max_workers=8, thread_name_prefix="frad-host")
 
 
@@ -83,6 +107,15 @@ def _fetch(arr, parts: int = 8) -> np.ndarray:
     for c in chunks:
         c.copy_to_host_async()
     return np.concatenate([np.asarray(c) for c in chunks])
+
+
+def _spans(rows: int, nbytes: int, target: int = 8 << 20,
+           max_parts: int = 8) -> list[tuple[int, int]]:
+    """Row spans for the chunked transfer pipeline: ~`target`-byte chunks,
+    at most `max_parts` (more chunks => more per-dispatch latency)."""
+    parts = max(1, min(max_parts, nbytes // target, rows))
+    bounds = [rows * i // parts for i in range(parts + 1)]
+    return [(bounds[i], bounds[i + 1]) for i in range(parts)]
 
 
 def plan_frames(total: int, fsize: int, overlap_ratio: int, is_compact: bool
@@ -141,7 +174,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                  enable_ecc: bool = False,
                  ecc_ratio: tuple[int, int] = DEFAULT_ECC_RATIO,
                  little_endian: bool = False, overlap_ratio: int = 16,
-                 workers: int = 4, compute_dtype: str | None = None) -> bytes:
+                 workers: int = 4, compute_dtype: str | None = None,
+                 i24_upload: bool = False, i16_upload: bool = False) -> bytes:
     """Encode a whole [T, C] f64 PCM array into a FrAD byte stream.
 
     Byte-exact with streaming `Encoder(...).process(raw) + flush()` at the
@@ -149,6 +183,11 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     tensor cores in f32 — the TPU fast path: the stream stays fully
     format-compatible (quantised ints / truncated floats differ only in
     the last ulp of the transform) at hardware-native speed.
+
+    `i24_upload` / `i16_upload` quantise the h2d PCM transfer to 3 or
+    2 bytes/sample (lossless / lossy profiles respectively); the
+    quantisation floors (-138 dB / -96 dB) sit far below the stream's own
+    noise. Only active with compute_dtype='float32'.
     """
     if compute_dtype is None and policy.compute_dtype() != "float64":
         compute_dtype = policy.compute_dtype()
@@ -174,7 +213,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     uniform = [f for f in frames if f[1] == n]
     tail = frames[len(uniform):]            # 0 or 1 non-uniform tail frame
 
-    # ---- tensor domain: one batched core call over the uniform frames ----
+    # ---- tensor domain: batched core calls over the uniform frames ----
     payload_parts: list[tuple[bytes, int, int]] = []  # (payload, bdi, flen)
 
     def _gather(frs: list[tuple[int, int]], length: int) -> np.ndarray:
@@ -188,7 +227,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
         if not frs:
             return []
         flen = frs[0][1]
-        arr = _gather(frs, flen)
+        with _stage("enc:gather"):
+            arr = _gather(frs, flen)
         if profile == 1:
             arr_p, srate_v, ll = profile1.prepare_frame(arr[0], srate, loss_level)
             dlen = arr_p.shape[0]
@@ -198,9 +238,20 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 arr = pad
             factor = profile1._scale_factor(bit_depth if bit_depth in profile1.DEPTHS else 16)
             bits = bit_depth if bit_depth in profile1.DEPTHS else 16
-            if compute_dtype:
-                arr = arr.astype(compute_dtype)
-            fq, tq = batch.p1_encode_core(arr, srate_v, ll, factor)
+            with _stage("enc:core"):
+                if i16_upload and compute_dtype == "float32":
+                    # 2 B/sample over the h2d link (-96 dB floor, far
+                    # below the lossy profile's masking noise)
+                    if native.has("frad_f64_to_i16"):
+                        arr_t = native.f64_to_i16(arr)
+                    else:
+                        arr_t = np.clip(np.rint(arr * 32768.0),
+                                        -32768, 32767).astype(np.int16)
+                    fq, tq = batch.p1_encode_core_i16(arr_t, srate_v, ll, factor)
+                else:
+                    if compute_dtype:
+                        arr = arr.astype(compute_dtype)
+                    fq, tq = batch.p1_encode_core(arr, srate_v, ll, factor)
             bdi = profile1.DEPTHS.index(bits)
 
             # On-device EGR bit-pack (bits <= 24 keeps symbols < 2^23, the
@@ -211,11 +262,12 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
             if bits <= 24 and len(frs) > 1:
                 m = fq.shape[1] * fq.shape[2]
                 max_words = max(m * 12 // 32, 16)
-                words, nbits_d, ks_d, ovf_d = bitpack.egr_pack_frames(
-                    fq.reshape(len(frs), m), max_words)
-                meta = _meta_packer()(nbits_d, ks_d, ovf_d, tq)
-                meta.copy_to_host_async()
-                meta = np.asarray(meta)
+                with _stage("enc:egr-pack"):
+                    words, nbits_d, ks_d, ovf_d = bitpack.egr_pack_frames(
+                        fq.reshape(len(frs), m), max_words)
+                    meta = _meta_packer()(nbits_d, ks_d, ovf_d, tq)
+                    meta.copy_to_host_async()
+                    meta = np.asarray(meta)
                 nbits = meta[:, 0]
                 ks = meta[:, 1]
                 ovf = meta[:, 2].astype(bool)
@@ -235,18 +287,19 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
 
                 # pipeline: pack chunk k on host threads while chunk k+1's
                 # words are still in flight on the d2h link
-                parts = 8 if len(frs) >= 16 else 1
-                chunks = _splitter(parts)(words) if parts > 1 else (words,)
-                for c in chunks:
-                    c.copy_to_host_async()
-                futures = []
-                row = 0
-                for c in chunks:
-                    host_rows = np.asarray(c)
-                    for j in range(host_rows.shape[0]):
-                        futures.append(_pool().submit(pack_one, host_rows[j], row))
-                        row += 1
-                return [f.result() for f in futures]
+                with _stage("enc:host-pack"):
+                    parts = 8 if len(frs) >= 16 else 1
+                    chunks = _splitter(parts)(words) if parts > 1 else (words,)
+                    for c in chunks:
+                        c.copy_to_host_async()
+                    futures = []
+                    row = 0
+                    for c in chunks:
+                        host_rows = np.asarray(c)
+                        for j in range(host_rows.shape[0]):
+                            futures.append(_pool().submit(pack_one, host_rows[j], row))
+                            row += 1
+                    return [f.result() for f in futures]
 
             fq = np.asarray(fq)
             tq = np.asarray(tq)
@@ -288,20 +341,49 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     and base_bits in bitpack.TRUNC_DEVICE_BITS
                     and (flen * channels) % 4 == 0):
                 # fast path: DCT + truncated-float packing fused on device;
-                # d2h ships the payload bytes themselves (2-4 B/value, no
-                # host re-pack pass). Escalated frames (coefficient beyond
-                # the container float's range) force the generic path.
-                words_d, maxabs_d = batch.p0_encode_pack_core(
-                    arr, base_bits, little_endian)
-                maxabs = np.asarray(maxabs_d)
+                # the link carries payload-density bytes in BOTH directions
+                # and the row-chunk pipeline overlaps h2d/compute/d2h.
+                # Escalated frames (coefficient beyond the container
+                # float's range) force the generic path.
+                import jax
+
+                use_i24 = i24_upload and base_bits == 24
+                spans = _spans(len(frs), arr.nbytes // (3 if use_i24 else 2))
+
+                def upload(s0: int, s1: int):
+                    blk = arr[s0:s1]
+                    if use_i24:
+                        w = bitpack.pcm_to_i24_words_host(blk).reshape(s1 - s0, -1)
+                        return jax.device_put(w)
+                    return jax.device_put(blk.astype(np.float32))
+
+                with _stage("enc:core"):
+                    ups = [_pool().submit(upload, s0, s1) for s0, s1 in spans]
+                    outs = []
+                    for f in ups:
+                        d = f.result()
+                        if use_i24:
+                            wd, md = batch.p0_encode_pack_core_i24(
+                                d, base_bits, little_endian, flen, channels)
+                        else:
+                            wd, md = batch.p0_encode_pack_core(
+                                d, base_bits, little_endian)
+                        wd.copy_to_host_async()
+                        md.copy_to_host_async()
+                        outs.append((wd, md))
+                    maxabs = np.concatenate([np.asarray(md) for _, md in outs])
                 limit = packing.FLOAT_MAX[packing.DEPTHS.index(base_bits)]
                 if np.all(maxabs <= limit):
-                    words = _fetch(words_d)
+                    with _stage("enc:fetch"):
+                        fetches = [_pool().submit(np.asarray, wd)
+                                   for wd, _ in outs]
+                        words = np.concatenate([f.result() for f in fetches])
                     bdi = packing.DEPTHS.index(base_bits)
                     return [(words[i].tobytes(), bdi, frs[i][1])
                             for i in range(len(frs))]
-            coeffs = _fetch(batch.p0_encode_core(
-                arr.astype(compute_dtype) if compute_dtype else arr))
+            with _stage("enc:core"):
+                coeffs = _fetch(batch.p0_encode_core(
+                    arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
             coeffs = arr
         maxabs = np.max(np.abs(coeffs.reshape(len(frs), -1)), axis=1) if coeffs.size else np.zeros(len(frs))
@@ -339,7 +421,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                       little_endian=little_endian, overlap_ratio=overlap_ratio)
         return a.write(payload)
 
-    framed = list(_pool().map(frame_bytes, payload_parts))
+    with _stage("enc:frame"):
+        framed = list(_pool().map(frame_bytes, payload_parts))
 
     if is_compact and terms:
         a = _asfh_for(profile, payload_parts[-1][1], channels, srate,
@@ -349,87 +432,86 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     return b"".join(framed)
 
 
-def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes], bytes]:
-    """O(n) frame scan; headers are <= 40 bytes incl. the u64 extension."""
+def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes | None], bytes]:
+    """O(n) frame scan; headers are <= 40 bytes incl. the u64 extension.
+
+    Force-flush terminator frames are recorded as (header, None) pairs so
+    the batched decoder can replicate the streaming flush without falling
+    back to the per-frame engine.
+    """
     headers: list[ASFH] = []
-    payloads: list[bytes] = []
+    payloads: list[bytes | None] = []
     pos = 0
     n = len(stream)
     while True:
-        idx = stream.find(b"\xff\xd0\xd2\x98", pos)
+        idx = stream.find(FRM_SIGN, pos)
         if idx < 0:
             return headers, payloads, b""
         a = ASFH()
         status, _ = a.read(stream[idx: idx + 48])
-        if status != "Complete" or idx + a.header_bytes + a.frmbytes > n:
+        if status == FORCE_FLUSH:
+            headers.append(a)
+            payloads.append(None)
+            pos = idx + a.header_bytes
+            continue
+        if status != COMPLETE or idx + a.header_bytes + a.frmbytes > n:
             return headers, payloads, stream[idx:]
         headers.append(a)
         payloads.append(stream[idx + a.header_bytes: idx + a.header_bytes + a.frmbytes])
         pos = idx + a.header_bytes + a.frmbytes
 
 
-def batch_decode(stream: bytes, *, fix_error: bool = False,
-                 workers: int = 4, compute_dtype: str | None = None,
-                 i16_transfer: bool = False, i24_transfer: bool = False,
-                 return_remainder: bool = False):
-    """Decode a FrAD byte stream in batched mode.
-
-    Fast path: a uniform prefix run (same profile/depth/channels/srate/
-    fsize, full-length frames) is decoded as one batched core call with a
-    vectorised overlap-add; everything after (tail frames, terminators)
-    goes through the streaming Decoder seeded with the carried overlap
-    state. Returns (pcm [T, C], srate); with `return_remainder`, returns
-    (pcm, srate, remainder_bytes) where `remainder_bytes` is non-empty
-    when the stream changes channel layout or sample rate mid-way (the
-    reference's `crit` split) — decode it with another call.
-    """
-    if compute_dtype is None and policy.compute_dtype() != "float64":
-        compute_dtype = policy.compute_dtype()
-    # ---- host parse: split stream into frames ----
-    headers, payloads, tail_bytes = _parse_frames(stream)
-    if not headers:
-        dec = Decoder(fix_error=fix_error)
-        out = dec.process(stream).pcm
-        tail = dec.flush().pcm
-        parts = [p for p in (out, tail) if p.size]
-        pcm_out = np.concatenate(parts) if parts else np.empty((0,))
-        if return_remainder:
-            return pcm_out, dec.asfh.srate, b""
-        return pcm_out, dec.asfh.srate
-
-    # ---- find the uniform batched prefix ----
-    h0 = headers[0]
-    key0 = (h0.profile, h0.bit_depth_index, h0.channels, h0.srate, h0.fsize,
-            h0.ecc, h0.overlap_ratio)
-    run = 0
-    for h in headers:
-        if ((h.profile, h.bit_depth_index, h.channels, h.srate, h.fsize,
-             h.ecc, h.overlap_ratio) != key0):
-            break
-        run += 1
+def _run_key(h: ASFH):
+    return (h.profile, h.bit_depth_index, h.channels, h.srate, h.fsize,
+            h.ecc, h.endian, h.overlap_ratio)
 
 
-    out_parts: list[np.ndarray] = []
-    srate = h0.srate
-    frag = np.empty((0, 0), dtype=np.float64)
+def _frag_head(out: np.ndarray, frag: np.ndarray) -> np.ndarray:
+    """Crossfade an incoming overlap fragment into the head of a decoded
+    run (the streaming decoder's frame-0 crossfade, reference
+    decoder.py:33-40, applied after the batched overlap-add which treats
+    frame 0's head as fade-free). Returns the blended head; the caller
+    emits it followed by out[len(frag):] (no full-array copy)."""
+    take = len(frag)
+    w = hanning_in_overlap(take, str(out.dtype)) if out.dtype.kind == "f" \
+        else hanning_in_overlap(take)
+    return out[:take] * w[:, None] + frag * w[::-1, None]
 
-    if run >= 1:
-        hs = headers[:run]
-        ps = payloads[:run]
-        if h0.ecc:
-            def de_ecc(i: int) -> bytes:
-                repair = fix_error and not hs[i].payload_crc_matches(ps[i])
-                return ecc_mod.decode(ps[i], hs[i].ecc_dsize, hs[i].ecc_codesize, repair)
+
+def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
+                compute_dtype: str | None, i16_transfer: bool,
+                i24_transfer: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one uniform frame run as batched core calls.
+
+    Returns (pcm [S, C] — already overlap-added WITHIN the run, frame 0's
+    head left fade-free for the caller's fragment fixup —, trailing
+    overlap fragment [olap, C] f64)."""
+    import jax
+
+    h0 = hs[0]
+    run = len(hs)
+    ch = h0.channels
+    n = h0.fsize
+    prof = h0.profile
+
+    if h0.ecc:
+        def de_ecc(i: int) -> bytes:
+            repair = fix_error and not hs[i].payload_crc_matches(ps[i])
+            return ecc_mod.decode(ps[i], hs[i].ecc_dsize, hs[i].ecc_codesize, repair)
+        with _stage("dec:ecc"):
             ps = list(_pool().map(de_ecc, range(run)))
 
-        ch = h0.channels
-        n = h0.fsize
-        prof = h0.profile
+    if prof in COMPACT and h0.overlap_ratio > 1:
+        cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
+    else:
+        cut = n
+    olap = n - cut
 
-        if prof == 1:
-            factor = profile1._scale_factor(profile1.DEPTHS[h0.bit_depth_index])
+    if prof == 1:
+        factor = profile1._scale_factor(profile1.DEPTHS[h0.bit_depth_index])
 
-            if native.available() and compute_dtype == "float32":
+        with _stage("dec:unpack"):
+            if native.has("frad_p1_unpack_batch") and compute_dtype == "float32":
                 # one C++ pass: inflate + EGR + untrim straight into the
                 # [B, n*ch] f32 upload buffers (no per-frame Python churn
                 # contending with the PJRT tunnel for the host cores)
@@ -452,45 +534,69 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
                 if compute_dtype:
                     fq = fq.astype(compute_dtype)
                     tq = tq.astype(compute_dtype)
-            if h0.overlap_ratio > 1:
-                cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
-            else:
-                cut = n
-            olap = n - cut
-            i16 = bool(i16_transfer and compute_dtype == "float32")
+        i16 = bool(i16_transfer and compute_dtype == "float32")
+        with _stage("dec:core"):
             out_d, frag_d = batch.p1_decode_oa_core(fq, tq, h0.srate, factor,
                                                     olap, cut, i16)
+        with _stage("dec:fetch"):
             out_h = _fetch(out_d)
+            frag = np.asarray(frag_d, dtype=np.float64)
+        with _stage("dec:host-conv"):
             if i16:
-                if native.available():
+                if native.has("frad_i16_to_f64"):
                     out_h = native.i16_to_f64(out_h).reshape(out_h.shape)
                 else:
                     out_h = out_h.astype(np.float64) / 32768.0
-            out_parts.append(out_h.reshape(-1, ch))
-            frag = np.asarray(frag_d, dtype=np.float64)
-            frames = None  # handled (fused path)
-        elif prof in (0, 4):
-            bits = packing.DEPTHS[h0.bit_depth_index]
-            sizes = {len(p) for p in ps}
-            if (prof == 0 and compute_dtype == "float32"
-                    and bits in bitpack.TRUNC_DEVICE_BITS
-                    and sizes == {n * ch * bits // 8}
-                    and (n * ch) % 4 == 0):
-                # fast path: ship the payload bytes to the device as packed
-                # words; unpack + IDCT run as one fused kernel (no host
-                # unpack pass, 2-4 B/value over the h2d link).
-                wdt = "<u2" if bits == 16 else "<u4"
+        return out_h.reshape(-1, ch), frag
+
+    if prof in (0, 4):
+        bits = packing.DEPTHS[h0.bit_depth_index]
+        sizes = {len(p) for p in ps}
+        frames = None
+        if (prof == 0 and compute_dtype == "float32"
+                and bits in bitpack.TRUNC_DEVICE_BITS
+                and sizes == {n * ch * bits // 8}
+                and (n * ch) % 4 == 0):
+            # fast path: ship the payload bytes to the device as packed
+            # words; unpack + IDCT run as one fused kernel. Row chunks
+            # keep the full-duplex link busy in both directions at once.
+            wdt = "<u2" if bits == 16 else "<u4"
+            with _stage("dec:unpack"):
                 words = np.frombuffer(b"".join(ps), dtype=wdt).reshape(run, -1)
-                if i24_transfer and bits == 24:
+            i24 = bool(i24_transfer and bits == 24)
+            spans = _spans(run, words.nbytes)
+
+            def upload(s0: int, s1: int):
+                return jax.device_put(words[s0:s1])
+
+            with _stage("dec:core"):
+                ups = [_pool().submit(upload, s0, s1) for s0, s1 in spans]
+                outs = []
+                for f in ups:
+                    wd = f.result()
+                    if i24:
+                        od = batch.p0_unpack_decode_i24_core(
+                            wd, bits, h0.endian, n, ch)
+                    else:
+                        od = batch.p0_unpack_decode_core(
+                            wd, bits, h0.endian, n, ch)
+                    od.copy_to_host_async()
+                    outs.append(od)
+
+            def fetch_conv(od) -> np.ndarray:
+                h = np.asarray(od)
+                if i24:
                     # int24 fixed-point PCM over the link (3 B/sample,
                     # -138 dB transfer noise floor)
-                    w24 = _fetch(batch.p0_unpack_decode_i24_core(
-                        words, bits, h0.endian, n, ch))
-                    frames = bitpack.i24_words_to_pcm(w24).reshape(run, n, ch)
-                else:
-                    frames = _fetch(batch.p0_unpack_decode_core(
-                        words, bits, h0.endian, n, ch))
-            else:
+                    return bitpack.i24_words_to_pcm(h).reshape(-1, n, ch)
+                return h
+
+            with _stage("dec:fetch"):
+                frames = np.concatenate(
+                    [f.result() for f in
+                     [_pool().submit(fetch_conv, od) for od in outs]])
+        else:
+            with _stage("dec:unpack"):
                 if bits != 12 and len(sizes) == 1:
                     # equal byte-aligned payloads: one vectorised unpack
                     flat = packing.unpack_floats(b"".join(ps), bits, h0.endian)
@@ -505,17 +611,19 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
                         return arr[:n]
 
                     coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
-                if prof == 0:
-                    if compute_dtype:
-                        coeffs = coeffs.astype(compute_dtype)
+            if prof == 0:
+                if compute_dtype:
+                    coeffs = coeffs.astype(compute_dtype)
+                with _stage("dec:core"):
                     frames = _fetch(batch.p0_decode_core(coeffs))
-                else:
-                    frames = coeffs
-        elif prof == 2:
-            factor = profile2._scale_factor(profile2.DEPTHS[h0.bit_depth_index])
-            order1 = 13
+            else:
+                frames = coeffs
+    elif prof == 2:
+        factor = profile2._scale_factor(profile2.DEPTHS[h0.bit_depth_index])
+        order1 = 13
 
-            if native.available() and compute_dtype == "float32":
+        with _stage("dec:unpack"):
+            if native.has("frad_p1_unpack_batch") and compute_dtype == "float32":
                 fqf, tqf, lqf, _ok = native.p1_unpack_batch(
                     ps, n * ch, 27 * ch, order1 * ch)
                 fq = fqf.reshape(run, n, ch)
@@ -540,52 +648,150 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
                     fq = fq.astype(compute_dtype)
                     tq = tq.astype(compute_dtype)
                     lq = lq.astype(compute_dtype)
+        with _stage("dec:core"):
             frames = _fetch(batch.p2_decode_core(fq, tq, lq, h0.srate, factor))
-        else:
-            frames = None  # reserved profiles: stream everything
-            run = 0
+    else:  # pragma: no cover - caller filters profiles
+        raise ValueError(f"profile {prof} is not batchable")
 
-        if run >= 1 and frames is not None:
-            if prof in COMPACT and h0.overlap_ratio > 1:
-                cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
-                olap = n - cut
-                out_parts.append(
-                    np.asarray(batch.overlap_add_core(frames, olap, cut)).reshape(-1, ch))
-                frag = frames[-1, cut:, :]
-            else:
-                out_parts.append(frames.reshape(-1, ch))
-                frag = np.empty((0, 0), dtype=np.float64)
-
-    # ---- stream the rest with carried state ----
-    dec = Decoder(fix_error=fix_error)
-    dec.overlap_fragment = np.asarray(frag, dtype=np.float64)
-    dec.info = (h0.channels, h0.srate)
-    rest_stream = b"".join(
-        _reframe(headers[i], payloads[i]) for i in range(run, len(headers))
-    ) + tail_bytes
-    remainder = b""
-    if rest_stream:
-        r = dec.process(rest_stream)
-        out_parts.append(r.pcm)
-        srate = r.srate or srate
-        if r.crit:
-            # mid-stream format change: the pending frame's header is
-            # already parsed inside `dec`; reserialise it + the unread
-            # buffer for the caller's next segment
-            remainder = dec.asfh.buffer + dec.buffer
-        else:
-            out_parts.append(dec.flush().pcm)
+    if olap:
+        with _stage("dec:overlap"):
+            out = np.asarray(batch.overlap_add_core(frames, olap, cut)).reshape(-1, ch)
+        frag = np.asarray(frames[-1, cut:, :], dtype=np.float64)
     else:
-        out_parts.append(np.asarray(frag))
+        out = frames.reshape(-1, ch)
+        frag = np.empty((0, 0), dtype=np.float64)
+    return out, frag
+
+
+_BATCHABLE = (0, 1, 2, 4)
+
+
+def batch_decode(stream: bytes, *, fix_error: bool = False,
+                 workers: int = 4, compute_dtype: str | None = None,
+                 i16_transfer: bool = False, i24_transfer: bool = False,
+                 return_remainder: bool = False):
+    """Decode a FrAD byte stream in batched mode.
+
+    EVERY uniform run (same profile/depth/channels/srate/fsize/endian/
+    ecc/overlap, full-length frames) is decoded as one batched core call
+    with a vectorised overlap-add; the overlap fragment carries across
+    run boundaries (mid-stream bit-depth escalations stay batched).
+    Only genuinely streaming cases fall back to the per-frame Decoder:
+    a fragment longer than the next run's emit window (multi-frame
+    crossfade) or a reserved profile. Returns (pcm [T, C], srate); with
+    `return_remainder`, returns (pcm, srate, remainder_bytes) where
+    `remainder_bytes` is non-empty when the stream changes channel
+    layout or sample rate mid-way (the reference's `crit` split) —
+    decode it with another call.
+    """
+    if compute_dtype is None and policy.compute_dtype() != "float64":
+        compute_dtype = policy.compute_dtype()
+    # ---- host parse: split stream into frames ----
+    with _stage("dec:parse"):
+        headers, payloads, tail_bytes = _parse_frames(stream)
+    if not any(p is not None for p in payloads):
+        dec = Decoder(fix_error=fix_error)
+        out = dec.process(stream).pcm
+        tail = dec.flush().pcm
+        parts = [p for p in (out, tail) if p.size]
+        pcm_out = np.concatenate(parts) if parts else np.empty((0,))
+        if return_remainder:
+            return pcm_out, dec.asfh.srate, b""
+        return pcm_out, dec.asfh.srate
+
+    out_parts: list[np.ndarray] = []
+    first = next(h for h, p in zip(headers, payloads) if p is not None)
+    srate = first.srate
+    info = (first.channels, first.srate)
+    frag = np.empty((0, 0), dtype=np.float64)
+    idx = 0
+    remainder = b""
+    stream_rest = False
+
+    while idx < len(headers):
+        h0 = headers[idx]
+        if payloads[idx] is None:
+            # force-flush terminator: emit the overlap tail (streaming
+            # Decoder.flush(), reference asfh.py:75-87 semantics)
+            if frag.size:
+                out_parts.append(frag)
+            frag = np.empty((0, 0), dtype=np.float64)
+            idx += 1
+            continue
+        if (h0.channels, h0.srate) != info:
+            # mid-stream format change: emit the old format's overlap
+            # tail and hand the rest back (the reference's `crit` split)
+            if frag.size:
+                out_parts.append(frag)
+            frag = np.empty((0, 0), dtype=np.float64)
+            remainder = b"".join(
+                _reframe(headers[i], payloads[i]) for i in range(idx, len(headers))
+            ) + tail_bytes
+            tail_bytes = b""
+            break
+        if h0.profile not in _BATCHABLE:
+            stream_rest = True
+            break
+        key0 = _run_key(h0)
+        run = 1
+        while (idx + run < len(headers) and payloads[idx + run] is not None
+               and _run_key(headers[idx + run]) == key0):
+            run += 1
+
+        n = h0.fsize
+        if h0.profile in COMPACT and h0.overlap_ratio > 1:
+            cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
+        else:
+            cut = n
+        if frag.size and (len(frag) > cut or frag.shape[1] != h0.channels):
+            # the fragment spans multiple frames of the new run — the
+            # streaming engine's progressive crossfade handles it exactly
+            stream_rest = True
+            break
+
+        out, new_frag = _decode_run(
+            headers[idx: idx + run], payloads[idx: idx + run],
+            fix_error=fix_error, compute_dtype=compute_dtype,
+            i16_transfer=i16_transfer, i24_transfer=i24_transfer)
+        if frag.size and len(out):
+            out_parts.append(_frag_head(out, frag))
+            out_parts.append(out[len(frag):])
+        else:
+            out_parts.append(out)
+        frag = new_frag
+        srate = h0.srate
+        idx += run
+
+    # ---- stream whatever could not be batched, with carried state ----
+    if not remainder:
+        dec = Decoder(fix_error=fix_error)
+        dec.overlap_fragment = np.asarray(frag, dtype=np.float64)
+        dec.info = info
+        rest_stream = (b"".join(
+            _reframe(headers[i], payloads[i]) for i in range(idx, len(headers))
+        ) if stream_rest else b"") + tail_bytes
+        if rest_stream:
+            r = dec.process(rest_stream)
+            out_parts.append(r.pcm)
+            srate = r.srate or srate
+            if r.crit:
+                # the pending frame's header is already parsed inside
+                # `dec`; reserialise it + the unread buffer for the
+                # caller's next segment
+                remainder = dec.asfh.buffer + dec.buffer
+            else:
+                out_parts.append(dec.flush().pcm)
+        elif frag.size:
+            out_parts.append(frag)
 
     parts = [np.atleast_2d(p) for p in out_parts if p.size]
     pcm_out = (np.concatenate(parts, axis=0) if parts
-               else np.empty((0, h0.channels)))
+               else np.empty((0, first.channels)))
     if return_remainder:
         return pcm_out, srate, remainder
     return pcm_out, srate
 
 
-def _reframe(a: ASFH, payload: bytes) -> bytes:
+def _reframe(a: ASFH, payload: bytes | None) -> bytes:
     """Reserialise an already-parsed frame (header buffer is authoritative)."""
-    return a.buffer + payload
+    return a.buffer + (payload or b"")
