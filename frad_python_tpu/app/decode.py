@@ -21,18 +21,14 @@ from ..models import BIT_DEPTHS
 from ..ops.pcm import ff_format_to_numpy_type, from_f64
 from ..parallel import batch_decode
 from ..utils.cli import CliParams
-from ..utils.fmt import (PIPEIN, PIPEOUT, check_overwrite, format_si,
-                         format_speed, format_time, get_file_stem)
-from ..utils.process import ProcessInfo
+from ..utils.fmt import PIPEIN, PIPEOUT, check_overwrite, get_file_stem
+from ..utils.telemetry import StreamStats, status_line
 
 
-def _log(loglevel: int, info: ProcessInfo, linefeed: bool, asfh: ASFH) -> None:
+def _log(loglevel: int, info: StreamStats, linefeed: bool, asfh: ASFH) -> None:
     if loglevel == 0:
         return
-    lines = [f"size={format_si(info.get_total_size())}B "
-             f"time={format_time(info.get_duration())} "
-             f"bitrate={format_si(info.get_bitrate())}bit/s "
-             f"speed={format_speed(info.get_speed())}x    "]
+    lines = [status_line(info)]
     if loglevel > 1:
         depths = BIT_DEPTHS[asfh.profile]
         depth = depths[asfh.bit_depth_index] if asfh.bit_depth_index < len(depths) else "?"
@@ -124,7 +120,7 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
         else:
             writefile.write(from_f64(pcm, pcm_fmt).astype(pcm_fmt).tobytes())
 
-    info = ProcessInfo()
+    info = StreamStats()
 
     use_turbo = params.turbo if params.turbo is not None else (
         not rpipe and not play
@@ -135,7 +131,7 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
         while stream:
             pcm, srate, rest = batch_decode(stream, fix_error=params.enable_ecc,
                                             return_remainder=True)
-            info.update(len(stream) - len(rest), len(pcm), srate)
+            info.log(len(stream) - len(rest), len(pcm), srate)
             emit(np.atleast_2d(pcm), srate or 48000)
             if not rest or len(rest) >= len(stream):
                 break
@@ -155,20 +151,20 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
         if not buf and decoder.is_empty():
             break
         res = decoder.process(buf)
-        info.update(len(buf), len(res.pcm), decoder.get_asfh().srate)
+        info.log(len(buf), len(res.pcm), decoder.get_asfh().srate)
         emit(res.pcm, int((res.srate or 48000)))
         _log(params.loglevel, info, False, decoder.get_asfh())
 
         if res.crit and not wpipe:
             no += 1
             wfile_path = f"{wfile_prim}.{no}.pcm"
-            info.block()
+            info.pause()
             check_overwrite(wfile_path, params.overwrite)
-            info.unblock()
+            info.resume()
             writefile = open(wfile_path, "wb")
 
     res = decoder.flush()
-    info.update(0, len(res.pcm), decoder.get_asfh().srate)
+    info.log(0, len(res.pcm), decoder.get_asfh().srate)
     emit(res.pcm, int(res.srate or 48000))
     _log(params.loglevel, info, True, decoder.get_asfh())
     if play:

@@ -20,9 +20,8 @@ from ..models import LOSSLESS
 from ..ops.pcm import ff_format_to_numpy_type, to_f64
 from ..parallel import batch_encode
 from ..utils.cli import CliParams
-from ..utils.fmt import (PIPEIN, PIPEOUT, check_overwrite, format_si,
-                         format_speed, format_time, get_file_stem)
-from ..utils.process import ProcessInfo
+from ..utils.fmt import PIPEIN, PIPEOUT, check_overwrite, get_file_stem
+from ..utils.telemetry import StreamStats, status_line
 
 
 def set_files(rfile: str, wfile: str, profile: int, overwrite: bool
@@ -52,16 +51,10 @@ def set_files(rfile: str, wfile: str, profile: int, overwrite: bool
     return readfile, writefile
 
 
-def _log(loglevel: int, info: ProcessInfo, linefeed: bool) -> None:
+def _log(loglevel: int, info: StreamStats, linefeed: bool) -> None:
     if loglevel == 0:
         return
-    print(f"size={format_si(info.get_total_size())}B "
-          f"time={format_time(info.get_duration())} "
-          f"bitrate={format_si(info.get_bitrate())}bit/s "
-          f"speed={format_speed(info.get_speed())}x    ",
-          end="\r", file=sys.stderr)
-    if linefeed:
-        print(file=sys.stderr)
+    print(status_line(info), end="\n" if linefeed else "\r", file=sys.stderr)
 
 
 def loss_level_from_cli(losslevel: int) -> float:
@@ -105,7 +98,7 @@ def encode(input_path: str, params: CliParams) -> None:
         image = open(params.image_path, "rb").read()
     wfile.write(head.builder(params.meta, image))
 
-    info = ProcessInfo()
+    info = StreamStats()
 
     # auto-select the batched TPU path for regular files (per-frame
     # dispatch latency makes streaming slow on accelerators); --no-turbo
@@ -128,7 +121,7 @@ def encode(input_path: str, params: CliParams) -> None:
             ecc_ratio=(encoder.asfh.ecc_dsize, encoder.asfh.ecc_codesize),
             little_endian=params.little_endian,
             overlap_ratio=encoder.asfh.overlap_ratio)
-        info.update(len(out), usable, encoder.get_srate())
+        info.log(len(out), usable, encoder.get_srate())
         wfile.write(out)
         _log(params.loglevel, info, True)
         return
@@ -138,11 +131,11 @@ def encode(input_path: str, params: CliParams) -> None:
         if not buf:
             break
         res = encoder.process(buf)
-        info.update(len(res.buf), res.samples, encoder.get_srate())
+        info.log(len(res.buf), res.samples, encoder.get_srate())
         wfile.write(res.buf)
         _log(params.loglevel, info, False)
 
     res = encoder.flush()
-    info.update(len(res.buf), res.samples, encoder.get_srate())
+    info.log(len(res.buf), res.samples, encoder.get_srate())
     wfile.write(res.buf)
     _log(params.loglevel, info, True)

@@ -1,6 +1,6 @@
-"""App-level utilities: CLI parsing, progress telemetry, formatting."""
+"""App-level utilities: CLI parsing, stream telemetry, formatting."""
 
-from . import cli, fmt, process
-from .process import ProcessInfo
+from . import cli, fmt, telemetry
+from .telemetry import StreamStats, status_line
 
-__all__ = ["ProcessInfo", "cli", "fmt", "process"]
+__all__ = ["StreamStats", "cli", "fmt", "status_line", "telemetry"]

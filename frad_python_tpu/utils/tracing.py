@@ -1,6 +1,7 @@
 """Tracing / profiling utilities (SURVEY §5 auxiliary subsystems).
 
-The reference's only observability is the ProcessInfo stderr line; here:
+The reference's only observability is a stderr stats line (see
+utils/telemetry.py for that); here:
 
 * `trace(path)` — context manager around `jax.profiler` emitting a
   TensorBoard-loadable trace of the device kernels.

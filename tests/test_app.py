@@ -9,6 +9,7 @@ import pytest
 from frad_python_tpu.app.main import main
 from frad_python_tpu.utils import cli
 from frad_python_tpu.utils.fmt import format_si, format_speed, format_time, get_file_stem
+from frad_python_tpu.utils.telemetry import StreamStats, status_line
 
 
 class TestCliParse:
@@ -63,6 +64,41 @@ class TestFormatters:
         assert get_file_stem("/a/b/c.frad") == "c"
         assert get_file_stem(".hidden") == ".hidden"
         assert get_file_stem("-") == "pipe"
+        assert get_file_stem("a.b.c") == "a.b"
+        assert get_file_stem("plain") == "plain"
+
+
+class TestStreamStats:
+    def test_rates_and_speed(self):
+        now = [100.0]
+        s = StreamStats(clock=lambda: now[0])
+        s.log(4410 * 2, samples=4410, srate=44100)   # 0.1 s of audio
+        s.log(9600 * 2, samples=9600, srate=48000)   # 0.2 s of audio
+        now[0] += 0.1
+        assert s.total_bytes == (4410 + 9600) * 2
+        assert s.coded_seconds == pytest.approx(0.3)
+        assert s.speed == pytest.approx(3.0)
+        assert s.bitrate == pytest.approx((4410 + 9600) * 16 / 0.3)
+
+    def test_pause_excludes_prompt_time(self):
+        now = [0.0]
+        s = StreamStats(clock=lambda: now[0])
+        s.log(100, samples=44100, srate=44100)
+        now[0] = 1.0
+        s.pause()
+        now[0] = 11.0    # 10 s stuck at an interactive prompt
+        s.resume()
+        now[0] = 12.0
+        assert s.elapsed == pytest.approx(2.0)
+        assert s.speed == pytest.approx(0.5)
+
+    def test_status_line_shapes(self):
+        s = StreamStats(clock=lambda: 0.0)
+        assert status_line(s).startswith("size=0 B")
+        assert "B/s" in status_line(s, bytes_only=True)
+        s.log(2000, samples=44100, srate=44100)
+        line = status_line(s)
+        assert "time=1.000 s" in line and "bitrate=16.000 kbit/s" in line
 
 
 @pytest.fixture
