@@ -50,9 +50,14 @@ if not native.available():
     except Exception as e:  # pragma: no cover - toolchain missing
         print(f"native build skipped: {e}", file=sys.stderr)
 
-from frad_python_tpu.parallel import batch_decode, batch_encode  # noqa: E402
+from frad_python_tpu.parallel import batch_decode, batch_encode, pipeline  # noqa: E402
+from frad_python_tpu.utils.tracing import StageTimer  # noqa: E402
 
 HEADLINE = "p1_stereo_44k1"
+
+#: hires crosses into 8192-point frames and 8 channels; it needs a longer
+#: window than the 2048-frame configs to land >= 3 steady-state passes
+BUDGET_S = {"hires_96k_8ch": 150.0}
 
 CONFIGS = {
     "p4_mono_44k1": dict(profile=4, srate=44100, channels=1, bits=16, frame_size=2048),
@@ -76,8 +81,12 @@ def make_audio(seconds: float, srate: int, ch: int) -> np.ndarray:
 def run_config(name: str, cfg: dict, compute_dtype: str | None,
                seconds: float = 30.0, min_wall: float = 3.0) -> dict:
     pcm = make_audio(seconds, cfg["srate"], cfg["channels"])
+    on_tpu = compute_dtype == "float32"
     kw = dict(loss_level=0.5, enable_ecc=bool(cfg.get("ecc")),
-              compute_dtype=compute_dtype, workers=4)
+              compute_dtype=compute_dtype, workers=4,
+              # quantised h2d transfers: 3 B/sample lossless, 2 B/sample lossy
+              i24_upload=on_tpu and cfg["profile"] == 0 and cfg["bits"] == 24,
+              i16_upload=on_tpu and cfg["profile"] == 1 and cfg["bits"] == 16)
 
     # warm-up (compile)
     stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
@@ -91,7 +100,8 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     total_frames = 0
     enc_t = dec_t = 0.0
     pass_fps = []
-    budget = time.perf_counter() + 75.0   # hard per-config cap (link stalls)
+    pipeline.STAGES = StageTimer()        # per-stage attribution (stderr)
+    budget = time.perf_counter() + BUDGET_S.get(name, 75.0)
     # the tunnel stalls randomly for seconds at a time; a 5-pass median
     # (when the budget allows) is much more stable than a 3-pass one
     while (enc_t + dec_t < min_wall or len(pass_fps) < 5) \
@@ -110,6 +120,10 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
               f"({pass_fps[-1]:.0f} f/s)", file=sys.stderr)
 
     wall = enc_t + dec_t
+    print(f"  {name} stages:", file=sys.stderr)
+    for line in pipeline.STAGES.summary().splitlines():
+        print(f"    {line}", file=sys.stderr)
+    pipeline.STAGES = None
     # median pass rate resists the tunnel's multi-second transients
     fps = float(np.median(pass_fps))
 
@@ -133,11 +147,12 @@ def main() -> None:
     compute_dtype = "float32" if backend == "tpu" else None
     print(f"backend={backend} compute_dtype={compute_dtype}", file=sys.stderr)
 
-    baseline = {}
+    baseline, ref_snr = {}, {}
     bl_path = REPO / "BASELINE_MEASURED.json"
     if bl_path.exists():
-        baseline = {k: v["frames_per_s"]
-                    for k, v in json.loads(bl_path.read_text())["results"].items()}
+        ref = json.loads(bl_path.read_text())["results"]
+        baseline = {k: v["frames_per_s"] for k, v in ref.items()}
+        ref_snr = {k: v["snr_db"] for k, v in ref.items() if "snr_db" in v}
 
     detail = {}
     for name, cfg in CONFIGS.items():
@@ -149,9 +164,14 @@ def main() -> None:
             continue
         ref = baseline.get(name)
         res["vs_baseline"] = (res["frames_per_s"] / ref) if ref else None
+        if name in ref_snr:
+            res["ref_snr_db"] = ref_snr[name]
         detail[name] = res
+        snr_s = f"SNR {res['snr_db']:.1f} dB"
+        if name in ref_snr:
+            snr_s += f" (ref {ref_snr[name]:.1f})"
         print(f"{name}: {res['frames_per_s']:.0f} frames/s "
-              f"({res['realtime_x']:.0f}x realtime, SNR {res['snr_db']:.1f} dB"
+              f"({res['realtime_x']:.0f}x realtime, {snr_s}"
               + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
               file=sys.stderr)
 

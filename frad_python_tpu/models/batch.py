@@ -37,6 +37,89 @@ def _mats(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
 
 
 # ---------------------------------------------------------------------------
+# Automatic frame-batch data parallelism (SURVEY §2 N1)
+#
+# Every public core below routes its [B, ...] input through `place_rows`:
+# with >1 visible device the batch axis is laid out row-sharded over a 1-D
+# 'data' mesh, so the SAME jitted programs compile SPMD and XLA splits the
+# DCT/subband matmuls per shard with zero communication (overlap-add's
+# neighbour shift becomes one compiler-inserted collective-permute). With
+# one device (the real single-chip rig) this is a plain device_put.
+# Per-row results are bit-identical either way — rows never interact
+# except in overlap-add, whose halo row is exchanged, not recomputed.
+# ---------------------------------------------------------------------------
+
+#: don't shard tiny batches: under 2 rows/device the collective + padding
+#: overhead beats the win, and B=1 streaming calls must stay single-device
+_MIN_ROWS_PER_DEVICE = 2
+
+
+@functools.lru_cache(maxsize=1)
+def _data_mesh():
+    """1-D mesh over all visible devices, or None when single-device."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def data_sharding(nbatch: int):
+    """NamedSharding for a [B, ...] batch, or None when sharding is off
+    (single device / batch too small to amortise)."""
+    mesh = _data_mesh()
+    if mesh is None or nbatch < _MIN_ROWS_PER_DEVICE * mesh.devices.size:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def place_rows(arr) -> tuple[jax.Array, int]:
+    """Place a [B, ...] array row-sharded over the data mesh.
+
+    Returns (device_array, pad): `pad` zero rows were appended so B
+    divides the device count — callers slice them off the result.
+    """
+    arr = np.asarray(arr) if not isinstance(arr, jax.Array) else arr
+    spec = data_sharding(arr.shape[0])
+    if spec is None:
+        return jnp.asarray(arr), 0
+    ndev = spec.mesh.devices.size
+    pad = (-arr.shape[0]) % ndev
+    if pad:
+        arr = np.concatenate(
+            [np.asarray(arr),
+             np.zeros((pad,) + arr.shape[1:], dtype=np.asarray(arr).dtype)])
+    return jax.device_put(arr, spec), pad
+
+
+def _unpad(out, pad: int):
+    return out[:-pad] if pad else out
+
+
+@functools.lru_cache(maxsize=64)
+def _replicated_mats(n: int, dtype_name: str):
+    """DCT matrices replicated over the data mesh (jit rejects mixing a
+    mesh-sharded batch with operands committed to a single device)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    fwd, inv = device_matrices(n, dtype_name)
+    rep = NamedSharding(_data_mesh(), PartitionSpec())
+    return jax.device_put(fwd, rep), jax.device_put(inv, rep)
+
+
+def _mats_like(n: int, dtype, arr) -> tuple[jax.Array | None, jax.Array | None]:
+    """`_mats`, matched to `arr`'s placement (replicated when sharded)."""
+    if n > MATMUL_MAX_N:
+        return None, None
+    if isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
+        return _replicated_mats(n, str(jnp.dtype(dtype)))
+    return device_matrices(n, str(jnp.dtype(dtype)))
+
+
+# ---------------------------------------------------------------------------
 # Profile 0 cores: plain forward/inverse DCT over the frame axis
 # ---------------------------------------------------------------------------
 @jax.jit
@@ -48,9 +131,9 @@ def _p0_encode_jit(frames: jax.Array, fwd) -> jax.Array:
 
 def p0_encode_core(frames) -> jax.Array:
     """[B, N, C] PCM -> [B, N, C] DCT-II 'forward' coefficients."""
-    frames = jnp.asarray(frames)
-    fwd, _ = _mats(frames.shape[1], frames.dtype)
-    return _p0_encode_jit(frames, fwd)
+    frames, pad = place_rows(frames)
+    fwd, _ = _mats_like(frames.shape[1], frames.dtype, frames)
+    return _unpad(_p0_encode_jit(frames, fwd), pad)
 
 
 @jax.jit
@@ -62,9 +145,9 @@ def _p0_decode_jit(freqs: jax.Array, inv) -> jax.Array:
 
 def p0_decode_core(freqs) -> jax.Array:
     """[B, N, C] coefficients -> [B, N, C] PCM."""
-    freqs = jnp.asarray(freqs)
-    _, inv = _mats(freqs.shape[1], freqs.dtype)
-    return _p0_decode_jit(freqs, inv)
+    freqs, pad = place_rows(freqs)
+    _, inv = _mats_like(freqs.shape[1], freqs.dtype, freqs)
+    return _unpad(_p0_decode_jit(freqs, inv), pad)
 
 
 def p0_encode_pack_core(frames, bits: int, little: bool):
@@ -76,9 +159,10 @@ def p0_encode_pack_core(frames, bits: int, little: bool):
     escalation check (reference profile0.py:24-26); frames whose max
     exceeds the container float's range must fall back to the host path.
     """
-    frames = jnp.asarray(frames, dtype=jnp.float32)
-    fwd, _ = _mats(frames.shape[1], frames.dtype)
-    return _p0_encode_pack_jit(frames, bits, little, fwd)
+    frames, pad = place_rows(np.asarray(frames, dtype=np.float32))
+    fwd, _ = _mats_like(frames.shape[1], frames.dtype, frames)
+    words, maxabs = _p0_encode_pack_jit(frames, bits, little, fwd)
+    return _unpad(words, pad), _unpad(maxabs, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "little"))
@@ -99,9 +183,10 @@ def p0_encode_pack_core_i24(words, bits: int, little: bool, n: int, ch: int):
     packed int24 PCM words -> (payload words, maxabs). The h2d link
     carries 3 bytes/sample instead of a 4-byte f32 (the i24 step is
     -138 dB, far under the 24-bit container's own truncation)."""
-    words = jnp.asarray(words)
-    fwd, _ = _mats(n, jnp.float32)
-    return _p0_encode_pack_i24_jit(words, bits, little, n, ch, fwd)
+    words, pad = place_rows(words)
+    fwd, _ = _mats_like(n, jnp.float32, words)
+    out_w, maxabs = _p0_encode_pack_i24_jit(words, bits, little, n, ch, fwd)
+    return _unpad(out_w, pad), _unpad(maxabs, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "little", "n", "ch"))
@@ -118,9 +203,9 @@ def p0_unpack_decode_core(words, bits: int, little: bool, n: int, ch: int):
     """Packed payload words [B, W] -> [B, n, ch] PCM: on-device unpack
     (ops/bitpack.trunc_unpack) fused with the inverse DCT — the h2d link
     carries the stream's own payload bytes."""
-    words = jnp.asarray(words)
-    _, inv = _mats(n, jnp.float32)
-    return _p0_unpack_decode_jit(words, bits, little, n, ch, inv)
+    words, pad = place_rows(words)
+    _, inv = _mats_like(n, jnp.float32, words)
+    return _unpad(_p0_unpack_decode_jit(words, bits, little, n, ch, inv), pad)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "little", "n", "ch", "i24"))
@@ -141,9 +226,10 @@ def _p0_unpack_decode_jit(words: jax.Array, bits: int, little: bool,
 def p0_unpack_decode_i24_core(words, bits: int, little: bool, n: int, ch: int):
     """`p0_unpack_decode_core` returning packed int24 fixed-point PCM words
     (ops/bitpack.pcm_to_i24_words) — 3 bytes/sample over the d2h link."""
-    words = jnp.asarray(words)
-    _, inv = _mats(n, jnp.float32)
-    return _p0_unpack_decode_jit(words, bits, little, n, ch, inv, i24=True)
+    words, pad = place_rows(words)
+    _, inv = _mats_like(n, jnp.float32, words)
+    return _unpad(
+        _p0_unpack_decode_jit(words, bits, little, n, ch, inv, i24=True), pad)
 
 
 # ---------------------------------------------------------------------------
@@ -155,11 +241,12 @@ def p1_encode_core(frames, srate: int, loss_level, factor):
     Integer outputs feed the host EGR+DEFLATE stage; everything here is
     one fused graph (reference profile1.py:21-40 chain).
     """
-    frames = jnp.asarray(frames)
-    fwd, _ = _mats(frames.shape[1], frames.dtype)
-    return _p1_encode_jit(frames, srate,
-                          jnp.asarray(loss_level, frames.dtype),
-                          jnp.asarray(factor, frames.dtype), fwd)
+    frames, pad = place_rows(frames)
+    fwd, _ = _mats_like(frames.shape[1], frames.dtype, frames)
+    fq, tq = _p1_encode_jit(frames, srate,
+                            jnp.asarray(loss_level, frames.dtype),
+                            jnp.asarray(factor, frames.dtype), fwd)
+    return _unpad(fq, pad), _unpad(tq, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("srate",))
@@ -190,11 +277,12 @@ def p1_encode_core_i16(frames_i16, srate: int, loss_level, factor):
     (x * 32768) -> same outputs. Halves the encode h2d transfer; the
     -96 dB quantisation floor is inaudible against the lossy profile's
     masking-dominated noise."""
-    frames_i16 = jnp.asarray(frames_i16)
-    fwd, _ = _mats(frames_i16.shape[1], jnp.float32)
-    return _p1_encode_i16_jit(frames_i16, srate,
-                              jnp.asarray(loss_level, jnp.float32),
-                              jnp.asarray(factor, jnp.float32), fwd)
+    frames_i16, pad = place_rows(frames_i16)
+    fwd, _ = _mats_like(frames_i16.shape[1], jnp.float32, frames_i16)
+    fq, tq = _p1_encode_i16_jit(frames_i16, srate,
+                                jnp.asarray(loss_level, jnp.float32),
+                                jnp.asarray(factor, jnp.float32), fwd)
+    return _unpad(fq, pad), _unpad(tq, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("srate",))
@@ -207,10 +295,15 @@ def _p1_encode_i16_jit(frames_i16: jax.Array, srate: int, loss_level: jax.Array,
 def p1_decode_core(freqs_flat, thres_flat, srate: int, factor) -> jax.Array:
     """([B, N, C] compand-domain floats, [B, SUBBANDS, C] threshold ints)
     -> [B, N, C] PCM (reference profile1.py:66-77 chain)."""
-    freqs_flat = jnp.asarray(freqs_flat)
-    _, inv = _mats(freqs_flat.shape[1], freqs_flat.dtype)
-    return _p1_decode_jit(freqs_flat, jnp.asarray(thres_flat), srate,
-                          jnp.asarray(factor, freqs_flat.dtype), inv)
+    freqs_flat, pad = place_rows(freqs_flat)
+    thres_flat, _ = place_rows(np.concatenate(
+        [np.asarray(thres_flat),
+         np.zeros((pad,) + np.asarray(thres_flat).shape[1:],
+                  np.asarray(thres_flat).dtype)]) if pad else thres_flat)
+    _, inv = _mats_like(freqs_flat.shape[1], freqs_flat.dtype, freqs_flat)
+    return _unpad(_p1_decode_jit(freqs_flat, thres_flat, srate,
+                                 jnp.asarray(factor, freqs_flat.dtype), inv),
+                  pad)
 
 
 @functools.partial(jax.jit, static_argnames=("srate",))
@@ -238,11 +331,12 @@ def p2_encode_core(frames, srate: int, loss_level, factor):
 
     Reference profile2.py:21-51 chain with the TNS analysis between
     masking and quantisation (ops/tns_jax.py, fully batched)."""
-    frames = jnp.asarray(frames)
-    fwd, _ = _mats(frames.shape[1], frames.dtype)
-    return _p2_encode_jit(frames, srate,
-                          jnp.asarray(loss_level, frames.dtype),
-                          jnp.asarray(factor, frames.dtype), fwd)
+    frames, pad = place_rows(frames)
+    fwd, _ = _mats_like(frames.shape[1], frames.dtype, frames)
+    fq, tq, lq = _p2_encode_jit(frames, srate,
+                                jnp.asarray(loss_level, frames.dtype),
+                                jnp.asarray(factor, frames.dtype), fwd)
+    return _unpad(fq, pad), _unpad(tq, pad), _unpad(lq, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("srate",))
@@ -274,11 +368,18 @@ def _p2_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
 def p2_decode_core(freqs_flat, thres_flat, lpc_flat, srate: int,
                    factor) -> jax.Array:
     """Inverse of `p2_encode_core` (reference profile2.py:58-91)."""
-    freqs_flat = jnp.asarray(freqs_flat)
-    _, inv = _mats(freqs_flat.shape[1], freqs_flat.dtype)
-    return _p2_decode_jit(freqs_flat, jnp.asarray(thres_flat),
-                          jnp.asarray(lpc_flat), srate,
-                          jnp.asarray(factor, freqs_flat.dtype), inv)
+    freqs_flat, pad = place_rows(freqs_flat)
+    if pad:  # keep aux streams aligned with the padded batch
+        z = lambda a: np.concatenate(
+            [np.asarray(a), np.zeros((pad,) + np.asarray(a).shape[1:],
+                                     np.asarray(a).dtype)])
+        thres_flat, lpc_flat = z(thres_flat), z(lpc_flat)
+    thres_flat, _ = place_rows(thres_flat)
+    lpc_flat, _ = place_rows(lpc_flat)
+    _, inv = _mats_like(freqs_flat.shape[1], freqs_flat.dtype, freqs_flat)
+    return _unpad(_p2_decode_jit(freqs_flat, thres_flat, lpc_flat, srate,
+                                 jnp.asarray(factor, freqs_flat.dtype), inv),
+                  pad)
 
 
 @functools.partial(jax.jit, static_argnames=("srate",))
@@ -319,19 +420,30 @@ def p1_decode_oa_core(freqs_flat, thres_flat, srate: int, factor,
     fragment seeds the streaming tail decoder exactly like the
     per-frame path.
     """
-    freqs_flat = jnp.asarray(freqs_flat)
-    _, inv = _mats(freqs_flat.shape[1], freqs_flat.dtype)
-    return _p1_decode_oa_jit(freqs_flat, jnp.asarray(thres_flat), srate,
-                             jnp.asarray(factor, freqs_flat.dtype), olap,
-                             cut, i16, inv)
+    nreal = np.asarray(freqs_flat).shape[0] \
+        if not isinstance(freqs_flat, jax.Array) else freqs_flat.shape[0]
+    freqs_flat, pad = place_rows(freqs_flat)
+    if pad:
+        thres_flat = np.concatenate(
+            [np.asarray(thres_flat),
+             np.zeros((pad,) + np.asarray(thres_flat).shape[1:],
+                      np.asarray(thres_flat).dtype)])
+    thres_flat, _ = place_rows(thres_flat)
+    _, inv = _mats_like(freqs_flat.shape[1], freqs_flat.dtype, freqs_flat)
+    out, frag = _p1_decode_oa_jit(freqs_flat, jnp.asarray(thres_flat), srate,
+                                  jnp.asarray(factor, freqs_flat.dtype), olap,
+                                  cut, i16, inv, last=nreal - 1)
+    return _unpad(out, pad), frag
 
 
-@functools.partial(jax.jit, static_argnames=("srate", "olap", "cut", "i16"))
+@functools.partial(jax.jit, static_argnames=("srate", "olap", "cut", "i16",
+                                              "last"))
 def _p1_decode_oa_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
                       srate: int, factor: jax.Array, olap: int, cut: int,
-                      i16: bool, inv):
+                      i16: bool, inv, last: int | None = None):
     pcm = _p1_decode_jit.__wrapped__(freqs_flat, thres_flat, srate, factor, inv)
-    frag = pcm[-1, cut:cut + olap, :] if olap else pcm[-1, :0, :]
+    last = pcm.shape[0] - 1 if last is None else last
+    frag = pcm[last, cut:cut + olap, :] if olap else pcm[last, :0, :]
     out = overlap_add_core.__wrapped__(pcm, olap, cut)
     if i16:
         out = jnp.clip(jnp.rint(out * 32768.0), -32768, 32767).astype(jnp.int16)

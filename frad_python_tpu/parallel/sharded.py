@@ -103,7 +103,7 @@ def overlap_add_sharded(mesh: Mesh, frames: np.ndarray, olap: int, cut: int
     sequential decoder. Device 0 masks the wrapped-around halo (the
     global first frame has no predecessor).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndev = mesh.devices.size
     b = frames.shape[0]

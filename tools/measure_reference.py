@@ -68,7 +68,7 @@ def measure(config: dict, seconds_audio: float, min_wall: float = 3.0) -> dict:
     sig = sig + 0.01 * rng.standard_normal((n, ch))
     raw = sig.astype(">f8").tobytes()
 
-    def one_pass() -> tuple[int, float, float]:
+    def one_pass() -> tuple[int, float, float, np.ndarray]:
         enc = Encoder(config["profile"], srate, ch, config["bits"], fsize, "f64be")
         if config.get("ecc"):
             enc.set_ecc(True, (96, 24))
@@ -79,19 +79,28 @@ def measure(config: dict, seconds_audio: float, min_wall: float = 3.0) -> dict:
         t1 = time.perf_counter()
         dec = Decoder(fix_error=bool(config.get("ecc")))
         out = dec.process(stream)
-        _ = dec.flush()
+        tail = dec.flush()
         t2 = time.perf_counter()
         nframes = max(out.frames, 1)
-        return nframes, t1 - t0, t2 - t1
+        pcm = np.concatenate([p for p in (out.pcm, tail.pcm) if p.size]) \
+            if (out.pcm.size or tail.pcm.size) else np.empty((0, ch))
+        return nframes, t1 - t0, t2 - t1, pcm
 
     # warm + repeat until min wall time
     total_frames = 0
     enc_time = dec_time = 0.0
+    pcm = np.empty((0, ch))
     while enc_time + dec_time < min_wall:
-        f, te, td = one_pass()
+        f, te, td, pcm = one_pass()
         total_frames += f
         enc_time += te
         dec_time += td
+
+    # decoded quality vs the source (same SNR definition as bench.py)
+    m = min(len(pcm), len(sig))
+    err = np.atleast_2d(pcm)[:m] - sig[:m]
+    snr = float(10 * np.log10(np.sum(sig[:m] ** 2)
+                              / max(np.sum(err ** 2), 1e-300))) if m else 0.0
 
     wall = enc_time + dec_time
     return {
@@ -100,6 +109,7 @@ def measure(config: dict, seconds_audio: float, min_wall: float = 3.0) -> dict:
         "decode_s": dec_time,
         "frames_per_s": total_frames / wall,
         "audio_seconds_per_s": total_frames * fsize / srate / wall,
+        "snr_db": snr,
     }
 
 
