@@ -18,8 +18,12 @@ HELP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "help")
 
 def main(argv: list[str] | None = None) -> None:
     signal.signal(signal.SIGINT, lambda *_: sys.exit(1))
-    from ..utils import hostmem
-    hostmem.tune()  # warm-heap allocator for demand-paged VMs
+    if os.environ.get("FRAD_TPU_WARM_HEAP"):
+        # warm-heap allocator for demand-paged VMs; opt-in because it
+        # pins RSS at the high-water mark and disables mmap allocations
+        # for the whole process — right for bench/serve, not every CLI run
+        from ..utils import hostmem
+        hostmem.tune()
     argv = list(sys.argv if argv is None else argv)
     executable = os.path.basename(argv[0]) if argv else "frad-tpu"
 

@@ -61,3 +61,126 @@ def test_rs_native_equals_numpy():
     cw[9, :60] ^= 0x5A
     fixed, ok = native.rs_decode_blocks(cw, 24)
     assert not ok[9] and not fixed[9].any()
+
+
+# ---------------------------------------------------------------------------
+# Round-2 entry points: transfer-format converters + batched lossy unpack
+# ---------------------------------------------------------------------------
+
+def test_i24_round_trip_and_strictness():
+    pcm = np.clip(rng.standard_normal(5000) * 0.3, -1.0, 1.0 - 2.0 ** -23)
+    raw = native.f64_to_i24(pcm)
+    assert raw.dtype == np.uint8 and raw.size == pcm.size * 3
+    # numpy oracle: little-endian sign-extended triples / 2^23
+    trip = raw.reshape(-1, 3).astype(np.int32)
+    val = trip[:, 0] | (trip[:, 1] << 8) | (trip[:, 2] << 16)
+    val = (val ^ 0x800000) - 0x800000
+    np.testing.assert_array_equal(val, np.rint(pcm * 2 ** 23).astype(np.int64))
+    back = native.i24_to_f64(raw)
+    np.testing.assert_allclose(back, pcm, atol=2.0 ** -23)
+    # clamp at the rails
+    rails = native.f64_to_i24(np.array([1.5, -1.5]))
+    r = rails.reshape(-1, 3).astype(np.int32)
+    rv = (r[:, 0] | (r[:, 1] << 8) | (r[:, 2] << 16) ^ 0x800000) - 0x800000
+    np.testing.assert_array_equal(rv, [0x7FFFFF, -0x800000])
+    # malformed length must raise, matching the numpy reshape(-1, 3) path
+    with pytest.raises(ValueError):
+        native.i24_to_f64(raw.tobytes()[:-1])
+
+
+def test_i16_round_trip_matches_numpy():
+    pcm = rng.standard_normal(70000) * 0.5          # crosses threading gate
+    ints = native.f64_to_i16(pcm)
+    oracle = np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(ints, oracle)
+    back = native.i16_to_f64(ints)
+    np.testing.assert_allclose(back, ints.astype(np.float64) / 32768.0)
+
+
+def _py_unpack(payloads, fq_len, tq_len, lq_len=0):
+    """The pipeline's numpy fallback semantics (pipeline.py unpack_one)."""
+    from frad_python_tpu.models import profile1, profile2
+    fq = np.zeros((len(payloads), fq_len), np.float32)
+    tq = np.zeros((len(payloads), tq_len), np.float32)
+    lq = np.zeros((len(payloads), lq_len), np.float32)
+    for i, p in enumerate(payloads):
+        st = profile2.unpack_streams(p) if lq_len else profile1.unpack_streams(p)
+        if st is None:
+            continue
+        if lq_len:
+            fi, ti, li = st
+            lq[i, :min(lq_len, len(li))] = li[:lq_len]
+        else:
+            fi, ti = st
+        fq[i, :min(fq_len, len(fi))] = fi[:fq_len]
+        tq[i, :min(tq_len, len(ti))] = ti[:tq_len]
+    return fq, tq, lq
+
+
+def _random_p1_payload(n, ch, scale=300):
+    from frad_python_tpu.models import profile1
+    f = (rng.standard_normal(n * ch) * scale).astype(np.int64)
+    t = rng.integers(-40, 120, 27 * ch).astype(np.int64)
+    return profile1.pack_streams(f, t)
+
+
+def test_p1_unpack_batch_parity_valid():
+    n, ch = 256, 2
+    ps = [_random_p1_payload(n, ch) for _ in range(12)]
+    fq, tq, lq, ok = native.p1_unpack_batch(ps, n * ch, 27 * ch)
+    assert ok.all() and lq is None
+    efq, etq, _ = _py_unpack(ps, n * ch, 27 * ch)
+    np.testing.assert_array_equal(fq, efq)
+    np.testing.assert_array_equal(tq, etq)
+
+
+def test_p1_unpack_batch_corrupt_payloads():
+    import struct
+    import zlib
+    n, ch = 128, 1
+    good = _random_p1_payload(n, ch)
+    cases = [
+        good,
+        b"",                                         # empty
+        b"\x00\x01\x02garbage-not-deflate",          # inflate fails
+        good[: len(good) // 2],                       # truncated mid-stream
+        zlib.compress(b"\x00\x01", wbits=-15),        # inflated < 4 bytes
+        # thres_len field overruns the inflated buffer: short-slice, like
+        # the Python fallback (everything becomes thres, freqs empty)
+        zlib.compress(struct.pack(">I", 10 ** 6) + b"\x80" * 40, wbits=-15),
+    ]
+    fq, tq, lq, ok = native.p1_unpack_batch(cases, n * ch, 27 * ch)
+    efq, etq, _ = _py_unpack(cases, n * ch, 27 * ch)
+    np.testing.assert_array_equal(fq, efq)
+    np.testing.assert_array_equal(tq, etq)
+    assert ok[0] and not ok[1] and not ok[2] and not ok[4]
+    # zero-row contract for every frame that failed to unpack
+    for i in (1, 2, 4):
+        assert not fq[i].any() and not tq[i].any()
+
+
+def test_p2_unpack_batch_parity_and_lq_contract():
+    import struct
+    import zlib
+
+    from frad_python_tpu.models import profile2
+    n, ch, order1 = 128, 2, 13
+    ps = []
+    for _ in range(6):
+        f = (rng.standard_normal(n * ch) * 200).astype(np.int64)
+        t = rng.integers(-40, 120, 27 * ch).astype(np.int64)
+        lpc = rng.integers(-8, 8, order1 * ch).astype(np.int64)
+        ps.append(profile2.pack_streams(f, t, lpc))
+    # corrupt variants: inflated < 6 bytes, lpc_len overrun (layout never
+    # validates -> ALL rows incl. lq must stay zero: the ADVICE.md contract)
+    ps.append(zlib.compress(b"\x00\x01\x02", wbits=-15))
+    ps.append(zlib.compress(struct.pack(">H", 60000) + b"\x80" * 30, wbits=-15))
+    ps.append(b"not-deflate-at-all")
+    fq, tq, lq, ok = native.p1_unpack_batch(ps, n * ch, 27 * ch, order1 * ch)
+    efq, etq, elq = _py_unpack(ps, n * ch, 27 * ch, order1 * ch)
+    np.testing.assert_array_equal(fq, efq)
+    np.testing.assert_array_equal(tq, etq)
+    np.testing.assert_array_equal(lq, elq)
+    assert ok[:6].all() and not ok[6:].any()
+    for i in (6, 7, 8):
+        assert not lq[i].any()
