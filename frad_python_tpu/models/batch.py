@@ -84,6 +84,11 @@ def place_rows(arr) -> tuple[jax.Array, int]:
     """
     arr = np.asarray(arr) if not isinstance(arr, jax.Array) else arr
     spec = data_sharding(arr.shape[0])
+    if spec is not None and arr.dtype == np.float64 \
+            and spec.mesh.devices.flat[0].platform != "cpu":
+        # deep-depth f64 transforms run on the CPU backend
+        # (policy.deep_device); never shard them onto an accelerator mesh
+        spec = None
     if spec is None:
         return jnp.asarray(arr), 0
     ndev = spec.mesh.devices.size

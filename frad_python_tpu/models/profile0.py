@@ -21,6 +21,26 @@ from ..ops.dct import dct2_forward, idct2_forward
 DEPTHS = packing.DEPTHS
 
 
+def _forward(pcm: np.ndarray, dt: str) -> np.ndarray:
+    """Forward DCT at dtype `dt`; f64 runs on the CPU backend when the
+    default backend lacks native f64 (policy.deep_device)."""
+    if dt == "float64":
+        with policy.deep_device():
+            return np.asarray(dct2_forward(pcm, axis=0), dtype=np.float64)
+    return np.asarray(dct2_forward(pcm.astype(dt), axis=0), dtype=np.float64)
+
+
+def _escalates_deep(max_abs: float, bits: int) -> bool:
+    """True when depth escalation from `bits` would land in a container
+    deeper than f32 precision (incl. f32 overflow showing up as inf)."""
+    if not np.isfinite(max_abs):
+        return True
+    try:
+        return packing.needed_depth(max_abs, bits) >= policy.DEEP_BITS
+    except OverflowError:
+        return True
+
+
 def analogue(pcm: np.ndarray, bits: int, srate: int, little_endian: bool) -> tuple[bytes, int, int, int]:
     """Encode one frame: [fsize, channels] f64 PCM -> (payload, depth index,
     channels, srate)."""
@@ -29,10 +49,15 @@ def analogue(pcm: np.ndarray, bits: int, srate: int, little_endian: bool) -> tup
     channels = pcm.shape[1] if pcm.ndim > 1 else 1
     pcm = np.asarray(pcm, dtype=np.float64).reshape(-1, channels)
 
-    freqs = np.asarray(
-        dct2_forward(pcm.astype(policy.compute_dtype()), axis=0), dtype=np.float64)
+    dt = policy.transform_dtype(bits)
+    freqs = _forward(pcm, dt)
 
     max_abs = float(np.max(np.abs(freqs))) if freqs.size else 0.0
+    if dt != "float64" and _escalates_deep(max_abs, bits):
+        # escalation crossed into a deeper-than-f32 container (possibly
+        # via f32 overflow -> inf): redo at archival precision
+        freqs = _forward(pcm, "float64")
+        max_abs = float(np.max(np.abs(freqs))) if freqs.size else 0.0
     bits = packing.needed_depth(max_abs, bits)
 
     frad = packing.pack_floats(freqs.ravel(), bits, little_endian)
@@ -44,5 +69,9 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, little_endian: boo
     bits = DEPTHS[bit_depth_index]
     flat = packing.unpack_floats(frad, bits, little_endian)
     n = (len(flat) // channels) * channels
-    freqs = flat[:n].reshape(-1, channels).astype(policy.compute_dtype())
+    dt = policy.transform_dtype(bits)
+    freqs = flat[:n].reshape(-1, channels).astype(dt)
+    if dt == "float64":
+        with policy.deep_device():
+            return np.asarray(idct2_forward(freqs, axis=0), dtype=np.float64)
     return np.asarray(idct2_forward(freqs, axis=0), dtype=np.float64)

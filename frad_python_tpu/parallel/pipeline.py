@@ -34,7 +34,7 @@ from ..common import FRM_SIGN
 from ..container import ecc as ecc_mod
 from ..container.asfh import ASFH, COMPLETE, FORCE_FLUSH
 from ..decoder import Decoder
-from ..models import COMPACT, batch, profile1, profile2
+from ..models import COMPACT, batch, profile0, profile1, profile2
 from ..models.profiles import compact
 from ..ops import bitpack, golomb, packing, policy
 from ..ops.window import hanning_in_overlap
@@ -382,13 +382,29 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     return [(words[i].tobytes(), bdi, frs[i][1])
                             for i in range(len(frs))]
             with _stage("enc:core"):
-                coeffs = _fetch(batch.p0_encode_core(
-                    arr.astype(compute_dtype) if compute_dtype else arr))
+                if base_bits >= policy.DEEP_BITS:
+                    # deep containers (48/64-bit) exceed f32 precision:
+                    # archival-exact f64 transform, on the CPU backend
+                    # when the default backend has no native f64
+                    with policy.deep_device():
+                        coeffs = np.asarray(batch.p0_encode_core(arr),
+                                            dtype=np.float64)
+                else:
+                    coeffs = _fetch(batch.p0_encode_core(
+                        arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
             coeffs = arr
         maxabs = np.max(np.abs(coeffs.reshape(len(frs), -1)), axis=1) if coeffs.size else np.zeros(len(frs))
 
         base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
+        if profile == 0 and coeffs.dtype != np.float64 and any(
+                profile0._escalates_deep(float(m), base_bits) for m in maxabs):
+            # escalation crossed into a deeper-than-f32 container (possibly
+            # via f32 overflow -> inf): redo the whole batch at archival
+            # precision (rare overflow corner)
+            with policy.deep_device():
+                coeffs = np.asarray(batch.p0_encode_core(arr), dtype=np.float64)
+            maxabs = np.max(np.abs(coeffs.reshape(len(frs), -1)), axis=1)
         depths = [packing.needed_depth(float(m), base_bits) for m in maxabs]
         results: list[tuple[bytes, int, int] | None] = [None] * len(frs)
         # Group frames by escalated depth and pack each group as ONE numpy
@@ -612,10 +628,18 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
 
                     coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
             if prof == 0:
-                if compute_dtype:
-                    coeffs = coeffs.astype(compute_dtype)
-                with _stage("dec:core"):
-                    frames = _fetch(batch.p0_decode_core(coeffs))
+                if bits >= policy.DEEP_BITS:
+                    # archival depths decode with the f64 transform (CPU
+                    # backend when the default device lacks native f64)
+                    with _stage("dec:core"), policy.deep_device():
+                        frames = np.asarray(
+                            batch.p0_decode_core(coeffs.astype(np.float64)),
+                            dtype=np.float64)
+                else:
+                    if compute_dtype:
+                        coeffs = coeffs.astype(compute_dtype)
+                    with _stage("dec:core"):
+                        frames = _fetch(batch.p0_decode_core(coeffs))
             else:
                 frames = coeffs
     elif prof == 2:
