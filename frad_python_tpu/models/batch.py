@@ -13,7 +13,9 @@ loops — here one traced graph, batched over frames AND channels.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,11 +55,33 @@ def _mats(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
 #: overhead beats the win, and B=1 streaming calls must stay single-device
 _MIN_ROWS_PER_DEVICE = 2
 
+#: master switch for automatic data-parallel sharding (env
+#: FRAD_TPU_NO_SHARD=1 disables it for a whole process; the context
+#: manager below disables it for a scope — used by equality tests and
+#: the driver dryrun to compare sharded vs single-device output)
+SHARDING = not os.environ.get("FRAD_TPU_NO_SHARD")
+
+
+@contextlib.contextmanager
+def sharding_disabled():
+    """Force the single-device path within the scope (for comparisons)."""
+    global SHARDING
+    old, SHARDING = SHARDING, False
+    try:
+        yield
+    finally:
+        SHARDING = old
+
 
 @functools.lru_cache(maxsize=1)
 def _data_mesh():
-    """1-D mesh over all visible devices, or None when single-device."""
-    devs = jax.devices()
+    """1-D mesh over this process's devices, or None when single-device.
+
+    Local devices only: under multi-process (multi-host) execution each
+    process encodes its own host_span with its own chips — cross-host
+    parallelism is the span split plus the byte-domain gather
+    (parallel/multihost.py), not a global array."""
+    devs = jax.local_devices()
     if len(devs) < 2:
         return None
     from jax.sharding import Mesh
@@ -68,6 +92,8 @@ def _data_mesh():
 def data_sharding(nbatch: int):
     """NamedSharding for a [B, ...] batch, or None when sharding is off
     (single device / batch too small to amortise)."""
+    if not SHARDING:
+        return None
     mesh = _data_mesh()
     if mesh is None or nbatch < _MIN_ROWS_PER_DEVICE * mesh.devices.size:
         return None
@@ -82,6 +108,10 @@ def place_rows(arr) -> tuple[jax.Array, int]:
     Returns (device_array, pad): `pad` zero rows were appended so B
     divides the device count — callers slice them off the result.
     """
+    if isinstance(arr, jax.core.Tracer):
+        # called under an outer jit/vmap trace: placement is the outer
+        # transform's job; run the single-device program
+        return arr, 0
     arr = np.asarray(arr) if not isinstance(arr, jax.Array) else arr
     spec = data_sharding(arr.shape[0])
     if spec is not None and arr.dtype == np.float64 \
@@ -119,7 +149,8 @@ def _mats_like(n: int, dtype, arr) -> tuple[jax.Array | None, jax.Array | None]:
     """`_mats`, matched to `arr`'s placement (replicated when sharded)."""
     if n > MATMUL_MAX_N:
         return None, None
-    if isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
+    if not isinstance(arr, jax.core.Tracer) \
+            and isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
         return _replicated_mats(n, str(jnp.dtype(dtype)))
     return device_matrices(n, str(jnp.dtype(dtype)))
 

@@ -137,8 +137,20 @@ def _device_matrix_maker(n: int):
     return jax.jit(make)
 
 
+def device_matrices(n: int, dtype_name: str):
+    """(forward, inverse) DCT matrices resident on the default device.
+    Under an outer trace (a user jitting one of the public wrappers)
+    returns uncached HOST constants instead — device_put/jit would yield
+    tracers there, which must never enter the lru cache."""
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():
+        return _dct_matrices(n, dtype_name)
+    return _device_matrices_cached(n, dtype_name)
+
+
 @functools.lru_cache(maxsize=64)
-def device_matrices(n: int, dtype_name: str) -> tuple[jax.Array, jax.Array]:
+def _device_matrices_cached(n: int, dtype_name: str) -> tuple[jax.Array, jax.Array]:
     """(forward, inverse) DCT matrices resident on the default device.
 
     Passed to the jitted cores as ARGUMENTS rather than closed-over

@@ -87,11 +87,17 @@ def host_span(total_samples: int, frame_size: int, overlap_ratio: int,
     return HostSpan(start=start, stop=stop, first_frame=lo_frame)
 
 
-def gather_bitstream(local_stream: bytes) -> bytes | None:
+def gather_bitstream(local_stream: bytes,
+                     order_key: int | None = None) -> bytes | None:
     """Order-preserving concatenation of per-host byte streams on host 0.
 
     Uses the process-level allgather (DCN); returns the full stream on
     process 0 and None elsewhere. Single-process: identity.
+
+    Segments are ordered by `order_key` (pass HostSpan.first_frame) so
+    the assembly is correct even under a non-monotonic span→process
+    assignment; with the default None the process index is the key
+    (host_span assigns spans monotonically by pid, so both agree).
     """
     if jax.process_count() == 1:
         return local_stream
@@ -99,13 +105,15 @@ def gather_bitstream(local_stream: bytes) -> bytes | None:
 
     # length-prefix + pad to the max length so allgather shapes agree
     arr = np.frombuffer(local_stream, dtype=np.uint8)
-    n = np.array([len(arr)], dtype=np.int64)
-    all_n = multihost_utils.process_allgather(n)
-    maxn = int(all_n.max())
+    key = jax.process_index() if order_key is None else int(order_key)
+    meta = np.array([len(arr), key], dtype=np.int64)
+    all_meta = multihost_utils.process_allgather(meta)
+    maxn = int(all_meta[:, 0].max())
     padded = np.zeros(maxn, dtype=np.uint8)
     padded[: len(arr)] = arr
     gathered = multihost_utils.process_allgather(padded)
     if jax.process_index() != 0:
         return None
-    return b"".join(gathered[i, : int(all_n[i, 0])].tobytes()
-                    for i in range(gathered.shape[0]))
+    order = np.argsort(all_meta[:, 1], kind="stable")
+    return b"".join(gathered[int(i), : int(all_meta[int(i), 0])].tobytes()
+                    for i in order)

@@ -175,8 +175,17 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                  ecc_ratio: tuple[int, int] = DEFAULT_ECC_RATIO,
                  little_endian: bool = False, overlap_ratio: int = 16,
                  workers: int = 4, compute_dtype: str | None = None,
-                 i24_upload: bool = False, i16_upload: bool = False) -> bytes:
+                 i24_upload: bool = False, i16_upload: bool = False,
+                 final: bool = True) -> bytes:
     """Encode a whole [T, C] f64 PCM array into a FrAD byte stream.
+
+    `final=False` encodes a NON-TERMINAL span of a larger stream (the
+    multi-host path: each host encodes its frame-aligned span, the next
+    host re-reads the overlap halo): the trailing partial frame and the
+    force-flush terminators are suppressed, so concatenating the spans
+    (final=True only on the last) is byte-identical to encoding the whole
+    stream on one host. The caller must cut non-final spans on the
+    multihost.host_span grid (frame-aligned, halo included).
 
     Byte-exact with streaming `Encoder(...).process(raw) + flush()` at the
     default compute dtype (f64). `compute_dtype='float32'` runs the
@@ -202,7 +211,15 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
         overlap_ratio = 0
 
     frames, terms = plan_frames(total, frame_size, overlap_ratio, is_compact)
+    if not final:
+        # non-terminal span of a larger stream: the next host encodes the
+        # continuation, so no tail frame and no force-flush terminators
+        n_full = frames[0][1] if frames else 0
+        frames = [f for f in frames if f[1] == n_full]
+        terms = 0
     if not frames:
+        if not final:
+            return b""
         a = _asfh_for(profile, 0, max(channels, 1), srate,
                       compact.get_samples_min_ge(frame_size) if is_compact else frame_size,
                       ecc=enable_ecc, ecc_ratio=ecc_ratio,

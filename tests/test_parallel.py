@@ -2,11 +2,16 @@
 (SURVEY §4.7): batch encode byte-exact vs streaming; sharded cores
 bit-exact vs single-device."""
 
+import os
+import pathlib
+
 import jax
 import numpy as np
 import pytest
 
 from frad_python_tpu import Decoder, Encoder
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
 from frad_python_tpu.models import batch
 from frad_python_tpu.parallel import (
     batch_decode, batch_encode, make_mesh, overlap_add_sharded,
@@ -188,41 +193,90 @@ class TestMultihost:
         assert multihost.gather_bitstream(b"abc") == b"abc"
 
     def test_spanwise_encode_matches_global(self):
-        """Per-host span encodes concatenated == single global encode."""
+        """Per-host span encodes (final=False on non-last hosts)
+        concatenated == single global encode, byte for byte."""
         from frad_python_tpu.parallel import multihost
         rng2 = np.random.default_rng(55)
         total, fsize, ratio = 40960, 2048, 16
         pcm = rng2.standard_normal((total, 2)) * 0.4
         ref = batch_encode(pcm, 1, 48000, 16, fsize, overlap_ratio=ratio)
 
-        # strip the final tail frame + terminators from the comparison:
-        # they belong to the last host
-        parts = []
         nproc = 4
+        parts = []
         for pid in range(nproc):
             s = multihost.host_span(total, fsize, ratio, True, pid, nproc)
-            seg = pcm[s.start:s.stop]
-            enc = batch_encode(seg, 1, 48000, 16, fsize, overlap_ratio=ratio)
-            if pid < nproc - 1:
-                # drop the tail (fragment) frame + terminators the local
-                # encoder emits at its artificial stream end
-                from frad_python_tpu.container.asfh import ASFH
-                pos, keep = 0, []
-                while pos < len(enc):
-                    a = ASFH()
-                    st, _ = a.read(enc[pos:pos + 48])
-                    if st != "Complete":
-                        break
-                    keep.append((pos, a.header_bytes + a.frmbytes))
-                    pos += a.header_bytes + a.frmbytes
-                if keep:
-                    last = keep[-1]
-                    enc = enc[: last[0]]  # drop final (tail) frame + terms
-            parts.append(enc)
-        got = b"".join(parts)
-        # the distributed stream must byte-match the global stream prefix
-        assert ref.startswith(got)
-        assert len(got) > len(ref) * 0.8
+            parts.append(batch_encode(pcm[s.start:s.stop], 1, 48000, 16,
+                                      fsize, overlap_ratio=ratio,
+                                      final=pid == nproc - 1))
+        assert b"".join(parts) == ref
+
+    def test_spanwise_encode_matches_global_lossless(self):
+        from frad_python_tpu.parallel import multihost
+        rng2 = np.random.default_rng(56)
+        total, fsize = 13000, 512   # non-aligned: last host owns the tail
+        pcm = rng2.standard_normal((total, 1)) * 0.4
+        ref = batch_encode(pcm, 0, 44100, 24, fsize)
+        parts = []
+        for pid in range(3):
+            s = multihost.host_span(total, fsize, 0, False, pid, 3)
+            parts.append(batch_encode(pcm[s.start:s.stop], 0, 44100, 24,
+                                      fsize, final=pid == 2))
+        assert b"".join(parts) == ref
+
+    def test_gather_bitstream_two_processes(self, tmp_path):
+        """Run the REAL allgather branch (multihost.py) under a 2-process
+        jax.distributed CPU cluster (SURVEY §4.7): each process encodes
+        its host_span and process 0 assembles the stream, ordered by
+        HostSpan.first_frame. Must byte-equal the single-host encode."""
+        import subprocess
+        import sys
+
+        script = tmp_path / "worker.py"
+        out = tmp_path / "stream.bin"
+        script.write_text(f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+pid = int(sys.argv[1])
+jax.distributed.initialize('localhost:{{port}}'.format(port=sys.argv[2]),
+                           num_processes=2, process_id=pid)
+import numpy as np
+from frad_python_tpu.parallel import batch_encode, multihost
+rng = np.random.default_rng(99)
+pcm = rng.standard_normal((20480, 2)) * 0.4
+span = multihost.host_span(len(pcm), 2048, 16, True)
+part = batch_encode(pcm[span.start:span.stop], 1, 48000, 16, 2048,
+                    overlap_ratio=16, final=pid == 1)
+full = multihost.gather_bitstream(part, order_key=span.first_frame)
+if pid == 0:
+    open({str(out)!r}, 'wb').write(full)
+""")
+        import socket
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # 1 device per process is enough
+        procs = [subprocess.Popen([sys.executable, str(script), str(i), str(port)],
+                                  env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE)
+                 for i in range(2)]
+        try:
+            for p in procs:
+                _, err = p.communicate(timeout=240)
+                if p.returncode != 0:
+                    pytest.skip(f"jax.distributed CPU cluster unavailable: "
+                                f"{err.decode()[-400:]}")
+        finally:
+            for p in procs:
+                p.kill()
+
+        rng2 = np.random.default_rng(99)
+        pcm = rng2.standard_normal((20480, 2)) * 0.4
+        ref = batch_encode(pcm, 1, 48000, 16, 2048, overlap_ratio=16)
+        assert out.read_bytes() == ref
 
 
 class TestProfile2Batch:
