@@ -9,6 +9,10 @@ once the overlap halo is materialised, so the sharding recipe is
 * N2 (SP/halo): the decoder's overlap-add needs each frame's left
   neighbour's tail; at shard boundaries that's one depth-1 ring
   `ppermute` over ICI inside `shard_map` (`overlap_add_sharded`).
+* N3 (channel sharding): the transform chain is channel-independent, so
+  a 2-D (data, channel) mesh (`make_mesh_2d`) shards the C axis too —
+  `_frame_spec` picks the PartitionSpec per mesh, and the compiled
+  program stays communication-free (tests prove zero collective ops).
 * N4/N5: multi-host init is `jax.distributed.initialize` + the same mesh
   over all processes (`make_mesh` uses every visible device); the byte
   domain (EGR/ASFH) stays host-local per shard and the bitstream is
@@ -35,6 +39,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+def make_mesh_2d(n_data: int, n_channel: int) -> Mesh:
+    """2-D (data, channel) mesh — SURVEY §2 N3: the per-channel transform
+    chain (DCT / masking / quant) is channel-independent, so the C axis
+    shards with ZERO communication; lay 'channel' innermost so its
+    (nonexistent) collectives would ride the fastest ICI links."""
+    devs = np.asarray(jax.devices()[: n_data * n_channel])
+    assert devs.size == n_data * n_channel, (
+        f"need {n_data * n_channel} devices, have {devs.size}")
+    return Mesh(devs.reshape(n_data, n_channel), ("data", "channel"))
+
+
+def _frame_spec(mesh: Mesh) -> P:
+    """PartitionSpec for a [B, N, C] frame batch on this mesh: batch over
+    'data', channels over 'channel' when the mesh has that axis."""
+    if "channel" in mesh.axis_names:
+        return P("data", None, "channel")
+    return P("data")
+
+
 def pad_to_multiple(frames: np.ndarray, m: int) -> tuple[np.ndarray, int]:
     """Pad the batch axis to a multiple of m (shardable); returns (padded, pad)."""
     b = frames.shape[0]
@@ -51,7 +74,7 @@ def sharded_p1_encode(mesh: Mesh, frames: np.ndarray, srate: int,
     frames [B, N, C] with B % n_devices == 0. Returns host arrays
     (freqs_q, thres_q) identical to the single-device core.
     """
-    spec = NamedSharding(mesh, P("data"))
+    spec = NamedSharding(mesh, _frame_spec(mesh))
     f = jax.device_put(jnp.asarray(frames), spec)
     fwd, _ = batch._mats(f.shape[1], f.dtype)
     fn = jax.jit(
@@ -64,7 +87,7 @@ def sharded_p1_encode(mesh: Mesh, frames: np.ndarray, srate: int,
 
 
 def sharded_p0_encode(mesh: Mesh, frames: np.ndarray) -> np.ndarray:
-    spec = NamedSharding(mesh, P("data"))
+    spec = NamedSharding(mesh, _frame_spec(mesh))
     f = jax.device_put(jnp.asarray(frames), spec)
     fwd, _ = batch._mats(f.shape[1], f.dtype)
     fn = jax.jit(batch._p0_encode_jit.__wrapped__,
@@ -73,7 +96,7 @@ def sharded_p0_encode(mesh: Mesh, frames: np.ndarray) -> np.ndarray:
 
 
 def sharded_p0_decode(mesh: Mesh, coeffs: np.ndarray) -> np.ndarray:
-    spec = NamedSharding(mesh, P("data"))
+    spec = NamedSharding(mesh, _frame_spec(mesh))
     c = jax.device_put(jnp.asarray(coeffs), spec)
     _, inv = batch._mats(c.shape[1], c.dtype)
     fn = jax.jit(batch._p0_decode_jit.__wrapped__,
@@ -83,7 +106,7 @@ def sharded_p0_decode(mesh: Mesh, coeffs: np.ndarray) -> np.ndarray:
 
 def sharded_p1_decode(mesh: Mesh, freqs: np.ndarray, thres: np.ndarray,
                       srate: int, factor: float) -> np.ndarray:
-    spec = NamedSharding(mesh, P("data"))
+    spec = NamedSharding(mesh, _frame_spec(mesh))
     f = jax.device_put(jnp.asarray(freqs), spec)
     t = jax.device_put(jnp.asarray(thres), spec)
     _, inv = batch._mats(f.shape[1], f.dtype)
@@ -105,14 +128,16 @@ def overlap_add_sharded(mesh: Mesh, frames: np.ndarray, olap: int, cut: int
     """
     from jax import shard_map
 
-    ndev = mesh.devices.size
+    ndev = mesh.shape["data"]
     b = frames.shape[0]
-    assert b % ndev == 0, "batch must divide the mesh"
+    assert b % ndev == 0, "batch must divide the mesh's data axis"
     dtype = frames.dtype
     w = (0.5 * (1.0 - np.cos(np.pi * np.arange(1, olap + 1) / (olap + 1)))).astype(dtype)
 
     def local(fr):
-        # fr: [B/ndev, N, C] local shard
+        # fr: [B/ndev, N, C or C/n_channel] local shard — the crossfade is
+        # per-channel elementwise, so a channel-sharded mesh needs no
+        # extra communication here; the halo ppermute rides 'data' only
         idx = jax.lax.axis_index("data")
         tails = fr[:, cut:cut + olap, :]
         last_tail = tails[-1:, :, :]
@@ -129,9 +154,9 @@ def overlap_add_sharded(mesh: Mesh, frames: np.ndarray, olap: int, cut: int
         blended = jnp.concatenate([row0[None], blended[1:]], axis=0)
         return jnp.concatenate([blended, fr[:, olap:cut, :]], axis=1)
 
-    spec = NamedSharding(mesh, P("data"))
-    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=P("data"),
-                           out_specs=P("data")))
+    spec = NamedSharding(mesh, _frame_spec(mesh))
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=_frame_spec(mesh),
+                           out_specs=_frame_spec(mesh)))
     out = fn(jax.device_put(jnp.asarray(frames), spec))
     return np.asarray(out)
 

@@ -169,6 +169,64 @@ class TestOverlapAddCore:
         np.testing.assert_allclose(got, want, atol=1e-15)
 
 
+class TestChannelSharding:
+    """SURVEY §2 N3: the per-channel transform chain shards over a 2-D
+    (data, channel) mesh with zero communication."""
+
+    def setup_method(self, method):
+        from frad_python_tpu.parallel.sharded import make_mesh_2d
+        assert len(jax.devices()) == 8
+        self.mesh = make_mesh_2d(4, 2)
+
+    def test_p1_encode_2d_mesh_bit_exact(self):
+        frames = rng.standard_normal((8, 2048, 2)) * 0.4
+        factor = 2.0 ** 15
+        want_f, want_t = batch.p1_encode_core(frames, 48000, 0.5, factor)
+        got_f, got_t = sharded_p1_encode(self.mesh, frames, 48000, 0.5, factor)
+        np.testing.assert_array_equal(got_f, np.asarray(want_f))
+        np.testing.assert_array_equal(got_t, np.asarray(want_t))
+
+    def test_p0_roundtrip_2d_mesh(self):
+        frames = rng.standard_normal((8, 1024, 4))
+        got = sharded_p0_encode(self.mesh, frames)
+        np.testing.assert_allclose(got, np.asarray(batch.p0_encode_core(frames)),
+                                   atol=1e-14, rtol=1e-13)
+        back = sharded_p0_decode(self.mesh, got)
+        np.testing.assert_allclose(back, frames, atol=1e-12)
+
+    def test_overlap_add_2d_mesh_matches_sequential(self):
+        frames = rng.standard_normal((8, 512, 4))
+        cut = 512 * 15 // 16
+        olap = 512 - cut
+        got = overlap_add_sharded(self.mesh, frames, olap, cut)
+        want = np.asarray(batch.overlap_add_core(frames, olap, cut))
+        np.testing.assert_allclose(got, want, atol=1e-15)
+
+    def test_2d_mesh_encode_has_no_communication(self):
+        """The compiled 2-D sharded encode core must be communication-free
+        (channels never interact; frames never interact)."""
+        from jax.sharding import NamedSharding
+        from frad_python_tpu.parallel.sharded import _frame_spec
+        import jax.numpy as jnp
+
+        spec = NamedSharding(self.mesh, _frame_spec(self.mesh))
+        frames = jax.device_put(
+            rng.standard_normal((8, 1024, 2)).astype(np.float32), spec)
+        fwd, _ = batch._mats(1024, frames.dtype)
+        fn = jax.jit(
+            lambda fr, ll, fc, m: batch._p1_encode_jit.__wrapped__(
+                fr, 48000, ll, fc, m),
+            in_shardings=(spec, None, None, None),
+            out_shardings=(spec, spec))
+        txt = fn.lower(frames, jnp.float32(0.5), jnp.float32(2.0 ** 15),
+                       fwd).compile().as_text()
+        comm = [op for op in ("collective-permute", "all-reduce",
+                              "all-gather", "all-to-all") if op in txt]
+        assert not comm, f"2-D sharded encode has communication: {comm}"
+        # per-device block: 2 rows (8/4) and 1 channel (2/2)
+        assert "f32[2,1024,1]" in txt
+
+
 class TestMultihost:
     def test_host_spans_cover_stream_with_halo(self):
         from frad_python_tpu.parallel import multihost
