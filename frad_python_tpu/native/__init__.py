@@ -48,6 +48,11 @@ _OPTIONAL_SYMBOLS = [
      [_C.c_char_p, _C.POINTER(_C.c_int64),
       _C.c_int64, _C.c_int64, _C.c_int64, _C.c_int64,
       _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_int]),
+    ("frad_p1_pack_batch", None,
+     [_C.c_void_p, _C.POINTER(_C.c_int64), _C.POINTER(_C.c_int64),
+      _C.c_void_p, _C.c_int64, _C.c_int64,
+      _C.POINTER(_C.c_int64), _C.c_int64,
+      _C.c_void_p, _C.c_int64, _C.POINTER(_C.c_int64), _C.c_int]),
 ]
 
 _missing: set[str] = set()
@@ -198,6 +203,41 @@ def p1_unpack_batch(payloads: list[bytes], fq_len: int, tq_len: int,
         lq.ctypes.data_as(ctypes.c_void_p) if lq is not None else None,
         ok.ctypes.data_as(ctypes.c_void_p), nthreads)
     return fq, tq, lq, ok.astype(bool)
+
+
+def p1_pack_batch(words: np.ndarray, nbits: np.ndarray, ks: np.ndarray,
+                  skip: np.ndarray, tq: np.ndarray, nthreads: int = 3
+                  ) -> list[bytes | None]:
+    """Assemble + deflate a batch of P1 payloads from device-packed EGR
+    words (the encode mirror of `p1_unpack_batch`).
+
+    words [B, W] uint32 (big-endian stream order), nbits/ks [B],
+    skip [B] bool (overflow frames the caller re-packs on the host),
+    tq [B, T] threshold ints. Returns per-frame payload bytes, or None
+    where skipped (deflate output byte-identical to
+    zlib.compress(frad, wbits=-15)).
+    """
+    b, w = words.shape
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    nbits = np.ascontiguousarray(nbits, dtype=np.int64)
+    ks = np.ascontiguousarray(ks, dtype=np.int64)
+    skip_u8 = np.ascontiguousarray(skip, dtype=np.uint8)
+    tq = np.ascontiguousarray(tq, dtype=np.int64).reshape(b, -1)
+    t = tq.shape[1]
+    frad_max = 4 + 17 * t + 16 + 1 + 4 * w
+    cap = frad_max + frad_max // 1000 + 128   # > deflateBound for raw deflate
+    out = np.empty(b * cap, dtype=np.uint8)
+    out_len = np.zeros(b, dtype=np.int64)
+    LIB.frad_p1_pack_batch(
+        words.ctypes.data_as(ctypes.c_void_p),
+        nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        skip_u8.ctypes.data_as(ctypes.c_void_p), b, w,
+        tq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), t,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+    return [out[i * cap: i * cap + out_len[i]].tobytes()
+            if out_len[i] > 0 else None for i in range(b)]
 
 
 def rs_decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndarray]:

@@ -673,4 +673,92 @@ void frad_p1_unpack_batch(const uint8_t* payloads, const int64_t* offsets,
     for (auto& th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Batched lossy-profile payload ASSEMBLY (the encode-side mirror of
+// frad_p1_unpack_batch): per frame, serialise the device-packed EGR
+// words, EGR-encode the threshold row, lay out the reference wire format
+//   DEFLATE( [u32be thres_len][thres EGR][k byte][freq EGR bytes] )
+// (reference profile1.py:43-50) and raw-deflate it — one C++ pass with
+// threads instead of B Python (words_to_stream + golomb + zlib) tasks.
+// Deflate parameters match CPython's zlib.compress(wbits=-15): default
+// level, memLevel 8 — byte-identical output (same zlib).
+// ---------------------------------------------------------------------------
+
+struct P1PackCtx {
+    const uint32_t* words;        // [B, W] host words (stream = BE bytes)
+    const int64_t* nbits;         // [B] total stream bits
+    const int64_t* ks;            // [B] EGR k parameter
+    const uint8_t* skip;          // [B] 1 -> overflow frame, host fallback
+    int64_t nframes, wlen, tlen;
+    const int64_t* tq;            // [B, tlen] threshold ints
+    uint8_t* out;                 // [B * cap]
+    int64_t cap;
+    int64_t* out_len;             // [B] payload bytes (0 when skipped/error)
+    std::atomic<int64_t>* next;
+};
+
+static void p1_pack_worker(P1PackCtx* c) {
+    std::vector<uint8_t> frad;
+    frad.reserve((size_t)(4 + 17 * c->tlen + 16 + 1 + 4 * c->wlen));
+    z_stream zs;
+    memset(&zs, 0, sizeof zs);
+    bool zinit = deflateInit2(&zs, Z_DEFAULT_COMPRESSION, Z_DEFLATED, -15, 8,
+                              Z_DEFAULT_STRATEGY) == Z_OK;
+    for (;;) {
+        int64_t i = c->next->fetch_add(1);
+        if (i >= c->nframes) break;
+        c->out_len[i] = 0;
+        if (c->skip[i] || !zinit) continue;
+
+        frad.resize(4 + 1 + 17 * (size_t)c->tlen + 8);
+        size_t tl = frad_egr_encode(c->tq + i * c->tlen, (size_t)c->tlen,
+                                    frad.data() + 4);
+        frad[0] = (uint8_t)(tl >> 24); frad[1] = (uint8_t)(tl >> 16);
+        frad[2] = (uint8_t)(tl >> 8);  frad[3] = (uint8_t)tl;
+        frad.resize(4 + tl);
+
+        // freq stream: k header byte + first ceil(nbits/8) BE word bytes
+        frad.push_back((uint8_t)c->ks[i]);
+        size_t nb = (size_t)((c->nbits[i] + 7) / 8);
+        const uint32_t* w = c->words + i * c->wlen;
+        size_t full = nb / 4;
+        for (size_t j = 0; j < full; j++) {
+            uint32_t v = w[j];
+            frad.push_back((uint8_t)(v >> 24)); frad.push_back((uint8_t)(v >> 16));
+            frad.push_back((uint8_t)(v >> 8));  frad.push_back((uint8_t)v);
+        }
+        for (size_t b = full * 4; b < nb; b++)
+            frad.push_back((uint8_t)(w[b / 4] >> (24 - 8 * (b % 4))));
+
+        deflateReset(&zs);
+        zs.next_in = frad.data();
+        zs.avail_in = (uInt)frad.size();
+        zs.next_out = c->out + i * c->cap;
+        zs.avail_out = (uInt)c->cap;
+        if (deflate(&zs, Z_FINISH) == Z_STREAM_END)
+            c->out_len[i] = (int64_t)zs.total_out;
+        // else: out_len stays 0 -> caller re-packs on the host path
+    }
+    if (zinit) deflateEnd(&zs);
+}
+
+void frad_p1_pack_batch(const uint32_t* words, const int64_t* nbits,
+                        const int64_t* ks, const uint8_t* skip,
+                        int64_t nframes, int64_t wlen,
+                        const int64_t* tq, int64_t tlen,
+                        uint8_t* out, int64_t cap, int64_t* out_len,
+                        int nthreads) {
+    std::atomic<int64_t> next(0);
+    P1PackCtx ctx = {words, nbits, ks, skip, nframes, wlen, tlen,
+                     tq, out, cap, out_len, &next};
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || nframes < 8) {
+        p1_pack_worker(&ctx);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(p1_pack_worker, &ctx);
+    for (auto& th : ts) th.join();
+}
+
 } // extern "C"

@@ -80,6 +80,15 @@ def _meta_packer():
     return jax.jit(pack)
 
 
+@functools.lru_cache(maxsize=32)
+def _col_slicer(width: int):
+    """Jitted [:, :width] column trim (used to fetch only the EGR word
+    columns a batch actually filled; cached per bucketed width)."""
+    import jax
+
+    return jax.jit(lambda a: a[:, :width])
+
+
 @functools.lru_cache(maxsize=8)
 def _splitter(parts: int):
     """One jitted program emitting `parts` slices (single compile per
@@ -292,6 +301,14 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 # host fallback for (rare) frames whose stream overflowed
                 fq_fallback = {int(i): np.asarray(fq[int(i)])
                                for i in np.flatnonzero(ovf)}
+                # the d2h link only needs the USED word columns — nbits is
+                # on host now, so trim the sizing estimate down to the
+                # batch max (bucketed to 64 words = 256 B so the slice
+                # program compiles a bounded number of shapes)
+                used = int(nbits[~ovf].max()) if (~ovf).any() else 32
+                wneed = min(max_words, -(-max(used, 1) // (32 * 64)) * 64)
+                if wneed < max_words:
+                    words = _col_slicer(wneed)(words)
 
                 def pack_one(words_h, i: int) -> tuple[bytes, int, int]:
                     if ovf[i]:
@@ -309,6 +326,27 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     chunks = _splitter(parts)(words) if parts > 1 else (words,)
                     for c in chunks:
                         c.copy_to_host_async()
+                    if native.has("frad_p1_pack_batch"):
+                        # one C++ pass per chunk (EGR thresholds + word
+                        # serialisation + raw deflate, threaded) instead
+                        # of a Python task per frame
+                        results: list[tuple[bytes, int, int]] = []
+                        row = 0
+                        for c in chunks:
+                            h = np.asarray(c)
+                            r0, r1 = row, row + h.shape[0]
+                            pls = native.p1_pack_batch(
+                                h, nbits[r0:r1], ks[r0:r1], ovf[r0:r1],
+                                tqh[r0:r1].reshape(r1 - r0, -1))
+                            for j, pl in enumerate(pls):
+                                i = r0 + j
+                                if pl is None:  # overflow -> host fallback
+                                    pl = profile1.pack_streams(
+                                        fq_fallback[i].ravel(),
+                                        tqh[i].ravel())
+                                results.append((pl, bdi, frs[i][1]))
+                            row = r1
+                        return results
                     futures = []
                     row = 0
                     for c in chunks:

@@ -184,3 +184,23 @@ def test_p2_unpack_batch_parity_and_lq_contract():
     assert ok[:6].all() and not ok[6:].any()
     for i in (6, 7, 8):
         assert not lq[i].any()
+
+
+def test_p1_pack_batch_pipeline_parity():
+    """The native batched payload assembler must produce a byte-identical
+    stream to the Python per-frame pack path (words_to_stream + golomb +
+    zlib.compress)."""
+    from frad_python_tpu.parallel import batch_encode
+
+    pcm = rng.standard_normal((2048 * 24, 2)) * 0.4
+    assert native.has("frad_p1_pack_batch")
+    stream_nat = batch_encode(pcm, 1, 48000, 16, 2048, overlap_ratio=16)
+    lib = native.LIB
+    try:
+        native.LIB = None
+        native._missing = {"frad_p1_pack_batch"}
+        stream_py = batch_encode(pcm, 1, 48000, 16, 2048, overlap_ratio=16)
+    finally:
+        native.LIB = lib
+        native._missing = set()
+    assert stream_nat == stream_py
