@@ -103,6 +103,20 @@ def _splitter(parts: int):
     return jax.jit(split)
 
 
+def _put_concurrent(arr: np.ndarray, target: int = 2 << 20):
+    """Host->device upload split into concurrent row chunks (the tunnel
+    sustains ~2x bandwidth with parallel streams), restacked on device
+    (one cheap on-chip concat)."""
+    import jax
+    import jax.numpy as jnp
+
+    spans = _spans(arr.shape[0], arr.nbytes, target=target)
+    if len(spans) < 2:
+        return jax.device_put(arr)
+    chunks = list(_pool().map(lambda s: jax.device_put(arr[s[0]:s[1]]), spans))
+    return jnp.concatenate(chunks)
+
+
 def _fetch(arr, parts: int = 8) -> np.ndarray:
     """Device->host fetch with `parts` concurrent slice transfers.
 
@@ -273,7 +287,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     else:
                         arr_t = np.clip(np.rint(arr * 32768.0),
                                         -32768, 32767).astype(np.int16)
-                    fq, tq = batch.p1_encode_core_i16(arr_t, srate_v, ll, factor)
+                    fq, tq = batch.p1_encode_core_i16(
+                        _put_concurrent(arr_t), srate_v, ll, factor)
                 else:
                     if compute_dtype:
                         arr = arr.astype(compute_dtype)
@@ -606,6 +621,54 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     fq = fq.astype(compute_dtype)
                     tq = tq.astype(compute_dtype)
         i16 = bool(i16_transfer and compute_dtype == "float32")
+
+        def conv(a: np.ndarray) -> np.ndarray:
+            if not i16:
+                return a
+            if native.has("frad_i16_to_f64"):
+                return native.i16_to_f64(a).reshape(a.shape)
+            return a.astype(np.float64) / 32768.0
+
+        out_bytes = run * cut * ch * (2 if i16 else fq.dtype.itemsize)
+        # ~2 MB spans: the P1 tensors are small next to the P0 payloads,
+        # but overlapping their h2d/compute/d2h still hides the shorter
+        # leg of the transfer chain behind the longer one
+        spans = _spans(run, fq.nbytes + out_bytes, target=2 << 20) \
+            if run >= 32 else [(0, run)]
+        if len(spans) > 1:
+            # chunked full-duplex decode: span k+1's h2d upload and span
+            # k-1's d2h fetch ride the link while span k computes; chunk
+            # boundaries are re-blended on the host with the same
+            # crossfade the streaming decoder applies between frames
+            # (byte-exact on the f64 path, tested)
+            def up(s0: int, s1: int):
+                return jax.device_put(fq[s0:s1]), jax.device_put(tq[s0:s1])
+
+            with _stage("dec:core"):
+                ups = [_pool().submit(up, s0, s1) for s0, s1 in spans]
+                outs = []
+                for f in ups:
+                    fq_d, tq_d = f.result()
+                    od, fd = batch.p1_decode_oa_core(
+                        fq_d, tq_d, h0.srate, factor, olap, cut, i16)
+                    od.copy_to_host_async()
+                    fd.copy_to_host_async()
+                    outs.append((od, fd))
+            with _stage("dec:fetch"):
+                parts = [(np.asarray(od), np.asarray(fd, dtype=np.float64))
+                         for od, fd in outs]
+            with _stage("dec:host-conv"):
+                chunks_out: list[np.ndarray] = []
+                prev_frag: np.ndarray | None = None
+                for out_h, fr in parts:
+                    out_h = conv(out_h).reshape(-1, ch)
+                    if prev_frag is not None and olap:
+                        out_h = np.concatenate(
+                            [_frag_head(out_h, prev_frag), out_h[olap:]])
+                    chunks_out.append(out_h)
+                    prev_frag = fr
+            return np.concatenate(chunks_out), prev_frag
+
         with _stage("dec:core"):
             out_d, frag_d = batch.p1_decode_oa_core(fq, tq, h0.srate, factor,
                                                     olap, cut, i16)
@@ -613,11 +676,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
             out_h = _fetch(out_d)
             frag = np.asarray(frag_d, dtype=np.float64)
         with _stage("dec:host-conv"):
-            if i16:
-                if native.has("frad_i16_to_f64"):
-                    out_h = native.i16_to_f64(out_h).reshape(out_h.shape)
-                else:
-                    out_h = out_h.astype(np.float64) / 32768.0
+            out_h = conv(out_h)
         return out_h.reshape(-1, ch), frag
 
     if prof in (0, 4):
