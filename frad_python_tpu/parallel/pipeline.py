@@ -418,7 +418,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 import jax
 
                 use_i24 = i24_upload and base_bits == 24
-                spans = _spans(len(frs), arr.nbytes // (3 if use_i24 else 2))
+                spans = _spans(len(frs), arr.nbytes // (3 if use_i24 else 2),
+                               target=2 << 20)
 
                 def upload(s0: int, s1: int):
                     blk = arr[s0:s1]
@@ -694,7 +695,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
             with _stage("dec:unpack"):
                 words = np.frombuffer(b"".join(ps), dtype=wdt).reshape(run, -1)
             i24 = bool(i24_transfer and bits == 24)
-            spans = _spans(run, words.nbytes)
+            spans = _spans(run, words.nbytes, target=2 << 20)
 
             def upload(s0: int, s1: int):
                 return jax.device_put(words[s0:s1])
