@@ -20,7 +20,7 @@ import zlib
 
 import numpy as np
 
-from ..ops import golomb, policy, psycho, tns
+from ..ops import golomb, policy, psycho, tns_jax
 from . import batch
 from .profile1 import _scale_factor, _untrim, prepare_frame
 
@@ -84,7 +84,7 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, srate: int, fsize:
         return np.zeros((fsize, channels))
     freqs_ints, thres_ints, lpc_ints = streams
 
-    order1 = tns.MAX_ORDER + 1
+    order1 = tns_jax.MAX_ORDER + 1
     freqs_flat = _untrim(freqs_ints.astype(np.float64), fsize, channels)[: fsize * channels]
     thres_flat = _untrim(thres_ints.astype(np.float64), psycho.SUBBANDS, channels)[: psycho.SUBBANDS * channels]
     lpc_flat = _untrim(lpc_ints.astype(np.float64), order1, channels)[: order1 * channels]

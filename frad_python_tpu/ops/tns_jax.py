@@ -1,8 +1,10 @@
 """Batched JAX Temporal Noise Shaping (profile 2's tensor domain).
 
-The host implementation (ops/tns.py) mirrors the reference per-channel
-loops; this module is the batched formulation over [..., N] spectra used
-by the fused profile-2 cores:
+The reference (src/libfrad/fourier/tools/p2tools.py) runs per-channel
+scalar loops through scipy.signal.lfilter; this module is the batched
+TPU formulation over [..., N] spectra used by the fused profile-2 cores
+(tests/test_ops.py compares it lane-by-lane against the reference
+implementation itself on tonal/noise/gate-edge spectra):
 
 * autocorrelation lags 0..12 as 13 static shifted reductions
 * Levinson-Durbin unrolled to 12 masked vector steps (the recursion is

@@ -141,6 +141,123 @@ def test_reference_repairs_our_damaged_ecc_stream(reference):
     np.testing.assert_array_equal(out, sig)
 
 
+def _p2_stream(analogue, make_asfh, sig, bits=16, srate=44100, ll=0.25,
+               fsize=2048):
+    """Frame-by-frame profile-2 stream builder. P2 is excluded from
+    AVAILABLE in both implementations (reference fourier/__init__.py:3),
+    so streams are assembled through the profile kernel + ASFH writer
+    directly, overlap disabled — exactly what the reference encoder's
+    case-2 dispatch would emit (reference encoder.py:98,103-104)."""
+    out = []
+    for off in range(0, len(sig), fsize):
+        frame = sig[off:off + fsize]
+        frad, bdi, channels, srate_o = analogue(frame, bits, srate, ll)
+        a = make_asfh()
+        a.profile = 2
+        a.bit_depth_index = bdi
+        a.channels = channels
+        a.srate = srate_o
+        a.fsize = len(frame)
+        a.overlap_ratio = 0
+        out.append(a.write(frad))
+    return b"".join(out)
+
+
+def test_ours_decodes_reference_p2_stream(reference):
+    import libfrad.fourier.profile2 as ref_p2
+    sig = tone(8192)
+    stream = _p2_stream(ref_p2.analogue, reference.ASFH, sig)
+    ref_out = ref_decode(reference, stream)
+    our_out = ours_decode(stream)
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-8)
+    m = min(len(sig), len(our_out))
+    assert snr_db(sig[:m], our_out[:m]) > 5
+
+
+def test_reference_decodes_our_p2_stream(reference):
+    from frad_python_tpu.container.asfh import ASFH
+    from frad_python_tpu.models import profile2
+    sig = tone(8192)
+    stream = _p2_stream(profile2.analogue, ASFH, sig)
+    ref_out = ref_decode(reference, stream)
+    our_out = ours_decode(stream)
+    assert ref_out.shape == our_out.shape
+    np.testing.assert_allclose(ref_out, our_out, atol=1e-8)
+    m = min(len(sig), len(ref_out))
+    assert snr_db(sig[:m], ref_out[:m]) > 5
+
+
+def test_p2_snr_parity(reference):
+    """Our P2 encode must reach the reference's SNR on the same audio."""
+    import libfrad.fourier.profile2 as ref_p2
+    from frad_python_tpu.container.asfh import ASFH
+    from frad_python_tpu.models import profile2
+    sig = tone(8192)
+    s_ref = _p2_stream(ref_p2.analogue, reference.ASFH, sig)
+    s_our = _p2_stream(profile2.analogue, ASFH, sig)
+    out_ref = ref_decode(reference, s_ref)
+    out_our = ours_decode(s_our)
+    m = min(len(sig), len(out_ref), len(out_our))
+    snr_ref = snr_db(sig[:m], out_ref[:m])
+    snr_our = snr_db(sig[:m], out_our[:m])
+    assert snr_our >= snr_ref - 0.1, (snr_our, snr_ref)
+    assert len(s_our) <= len(s_ref) * 1.02
+
+
+def test_tns_jax_matches_reference_oracle(reference):
+    """ops/tns_jax vs the reference TNS implementation itself, lane by
+    lane, on tonal / noise / gate-edge spectra: quantised LPC ints must
+    match exactly (they are wire bytes), residuals to float tolerance.
+    Covers every bypass gate in reference p2tools.py:72-111."""
+    import libfrad.fourier.tools.p2tools as ref_p2tools
+    from frad_python_tpu.ops import tns_jax
+
+    rng2 = np.random.default_rng(7)
+    n = 512
+    t = np.arange(n, dtype=np.float64)
+    lanes = [
+        # tonal / decaying spectra: strong prediction gain -> TNS runs
+        np.exp(-t / 40.0) * np.sin(t * 0.7) * 50,
+        np.exp(-t / 15.0) * rng2.standard_normal(n) * 20,
+        # flat noise: spectral-flatness gate -> bypass
+        rng2.standard_normal(n),
+        # energy gate
+        np.full(n, 1e-8),
+        np.zeros(n),
+        # tiny-coefficient / quantise-to-zero gate region
+        1.0 + 1e-4 * rng2.standard_normal(n),
+    ]
+    # gate-edge sweeps: tone/noise mixtures straddling the flatness gate
+    for mix in (0.2, 0.4, 0.45, 0.5, 0.55, 0.6, 0.8):
+        lanes.append((1 - mix) * np.exp(-t / 30.0) * np.sin(t * 0.3) * 30
+                     + mix * rng2.standard_normal(n))
+    x = np.stack(lanes)
+
+    got_res, got_lpc = tns_jax.tns_analysis(x)
+    got_res, got_lpc = np.asarray(got_res), np.asarray(got_lpc)
+    for i, lane in enumerate(x):
+        want_res, want_lpc = ref_p2tools.tns_analysis(lane)
+        np.testing.assert_array_equal(got_lpc[i], want_lpc,
+                                      err_msg=f"lane {i} lpc ints")
+        np.testing.assert_allclose(got_res[i], want_res, rtol=1e-9,
+                                   atol=1e-12, err_msg=f"lane {i} residual")
+
+    out = np.asarray(tns_jax.tns_synthesis(got_res, got_lpc))
+    for i in range(len(x)):
+        want = ref_p2tools.tns_synthesis(got_res[i],
+                                         got_lpc[i].astype(np.int64))
+        np.testing.assert_allclose(out[i], want, rtol=1e-9, atol=1e-10,
+                                   err_msg=f"lane {i} synthesis")
+
+    # short-frame gate (len < 2*MAX_ORDER): always passthrough
+    short = rng2.standard_normal(16)[None, :] * np.exp(-np.arange(16) / 3.0)
+    r_s, l_s = tns_jax.tns_analysis(short)
+    want_r, want_l = ref_p2tools.tns_analysis(short[0])
+    np.testing.assert_array_equal(np.asarray(l_s)[0], want_l)
+    np.testing.assert_allclose(np.asarray(r_s)[0], want_r, atol=1e-12)
+
+
 def test_snr_parity_profile1(reference):
     """Our lossy encode must reach at least the reference's SNR on the
     same audio (BASELINE.json north star)."""
