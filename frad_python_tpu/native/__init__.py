@@ -53,6 +53,21 @@ _OPTIONAL_SYMBOLS = [
       _C.c_void_p, _C.c_int64, _C.c_int64,
       _C.POINTER(_C.c_int64), _C.c_int64,
       _C.c_void_p, _C.c_int64, _C.POINTER(_C.c_int64), _C.c_int]),
+    ("frad_frame_pack_batch", None,
+     [_C.c_char_p, _C.POINTER(_C.c_int64), _C.c_int64,
+      _C.c_void_p, _C.c_void_p, _C.c_void_p,
+      _C.c_int, _C.c_int, _C.c_int, _C.c_uint32,
+      _C.c_int, _C.c_int, _C.c_int,
+      _C.c_int, _C.c_int, _C.c_int,
+      _C.c_void_p, _C.POINTER(_C.c_int64), _C.c_int]),
+    ("frad_unarmor_batch", None,
+     [_C.c_char_p, _C.POINTER(_C.c_int64), _C.c_int64,
+      _C.c_int, _C.c_int, _C.c_void_p, _C.c_int, _C.c_int,
+      _C.c_void_p, _C.POINTER(_C.c_int64), _C.c_void_p, _C.c_int]),
+    ("frad_pack_floats", None,
+     [_C.c_void_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
+    ("frad_unpack_floats", None,
+     [_C.c_char_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
 ]
 
 _missing: set[str] = set()
@@ -238,6 +253,115 @@ def p1_pack_batch(words: np.ndarray, nbits: np.ndarray, ks: np.ndarray,
         out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
     return [out[i * cap: i * cap + out_len[i]].tobytes()
             if out_len[i] > 0 else None for i in range(b)]
+
+
+def frame_pack_batch(payloads: "list[bytes] | tuple[bytes, np.ndarray]",
+                     bdis: np.ndarray, fsizes: np.ndarray,
+                     fsize_idx: np.ndarray | None, *, profile: int,
+                     is_compact: bool, channels: int, srate: int,
+                     srate_idx: int = 0, overlap_ratio: int = 0,
+                     little_endian: bool = False, ecc: bool = False,
+                     ecc_dsize: int = 0, ecc_codesize: int = 0,
+                     nthreads: int = 3) -> bytes:
+    """Assemble a batch of frames into the final byte stream: RS armor +
+    ASFH header + CRC per frame, threaded, one output buffer.
+
+    `payloads` is a list of raw per-frame payloads OR a pre-joined
+    (blob, offsets[B+1]) pair. Output is byte-identical to the per-frame
+    ecc.encode + ASFH.write chain (reference encoder.py:102-104)."""
+    if isinstance(payloads, tuple):
+        blob, offsets = payloads
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        b = len(offsets) - 1
+    else:
+        b = len(payloads)
+        blob = b"".join(payloads)
+        offsets = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in payloads], out=offsets[1:])
+
+    lens = np.diff(offsets)
+    if ecc and ecc_codesize > 0:
+        nfull = lens // ecc_dsize
+        rem = lens - nfull * ecc_dsize
+        alens = np.where(lens > 0,
+                         lens + (nfull + (rem > 0)) * ecc_codesize, 0)
+    else:
+        alens = lens
+    hlen = (16 if ecc else 12) if is_compact else 32
+    exts = np.where(alens >= 0xFFFFFFFF, 8, 0)
+    out_offsets = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(hlen + exts + alens, out=out_offsets[1:])
+
+    bdis = np.ascontiguousarray(bdis, dtype=np.uint8)
+    fsizes = np.ascontiguousarray(fsizes, dtype=np.uint32)
+    if fsize_idx is None:
+        fsize_idx = np.zeros(b, dtype=np.uint8)
+    fsize_idx = np.ascontiguousarray(fsize_idx, dtype=np.uint8)
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    LIB.frad_frame_pack_batch(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+        bdis.ctypes.data_as(ctypes.c_void_p),
+        fsizes.ctypes.data_as(ctypes.c_void_p),
+        fsize_idx.ctypes.data_as(ctypes.c_void_p),
+        profile, int(is_compact), channels, srate, srate_idx,
+        overlap_ratio, int(little_endian),
+        int(ecc), ecc_dsize, ecc_codesize,
+        out.ctypes.data_as(ctypes.c_void_p),
+        out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+    return out.tobytes()
+
+
+def unarmor_batch(payloads: list[bytes], dsize: int, csize: int,
+                  crcs: np.ndarray, crc_is16: bool, fix_error: bool,
+                  nthreads: int = 3) -> tuple[list[bytes], np.ndarray]:
+    """Strip (and, on CRC mismatch with fix_error, RS-repair) a batch of
+    armored payloads; returns (raw payloads, ok[B] bool)."""
+    b = len(payloads)
+    blob = b"".join(payloads)
+    offsets = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in payloads], out=offsets[1:])
+    lens = np.diff(offsets)
+    bs = dsize + csize
+    nfull = lens // bs
+    rem = lens - nfull * bs
+    outlens = nfull * dsize + np.where(rem > 0, np.maximum(rem - csize, 0), 0)
+    out_offsets = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(outlens, out=out_offsets[1:])
+    crcs = np.ascontiguousarray(crcs, dtype=np.uint32)
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    ok = np.empty(b, dtype=np.uint8)
+    LIB.frad_unarmor_batch(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+        dsize, csize, crcs.ctypes.data_as(ctypes.c_void_p),
+        int(crc_is16), int(fix_error),
+        out.ctypes.data_as(ctypes.c_void_p),
+        out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ok.ctypes.data_as(ctypes.c_void_p), nthreads)
+    raw = out.tobytes()
+    return ([raw[out_offsets[i]: out_offsets[i + 1]] for i in range(b)],
+            ok.astype(bool))
+
+
+def pack_floats(values: np.ndarray, bits: int, little_endian: bool,
+                nthreads: int = 3) -> bytes:
+    """Truncated-float serialisation (16/24/32/48/64-bit), threaded;
+    byte-identical to ops/packing.pack_floats."""
+    flat = np.ascontiguousarray(values, dtype=np.float64).reshape(-1)
+    out = np.empty(flat.size * (bits // 8), dtype=np.uint8)
+    LIB.frad_pack_floats(flat.ctypes.data_as(ctypes.c_void_p), flat.size,
+                         bits, int(little_endian),
+                         out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out.tobytes()
+
+
+def unpack_floats(frad: bytes, bits: int, little_endian: bool,
+                  nthreads: int = 3) -> np.ndarray:
+    """Inverse of pack_floats: stored bytes -> f64 with NaN/Inf -> 0."""
+    n = len(frad) // (bits // 8)
+    out = np.empty(n, dtype=np.float64)
+    LIB.frad_unpack_floats(frad, n, bits, int(little_endian),
+                           out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out
 
 
 def rs_decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndarray]:

@@ -254,26 +254,28 @@ static const uint8_t* gen_poly(int nsym) {
     return gen_cache[nsym];
 }
 
+static void rs_encode_one(const uint8_t* msg, size_t dsize, size_t nsym,
+                          const uint8_t* g, uint8_t* rem) {
+    memset(rem, 0, nsym);
+    for (size_t i = 0; i < dsize; i++) {
+        uint8_t fb = msg[i] ^ rem[0];
+        memmove(rem, rem + 1, nsym - 1);
+        rem[nsym - 1] = 0;
+        if (fb) {
+            int lf = gf_log[fb];
+            for (size_t j = 0; j < nsym; j++)
+                if (g[j + 1]) rem[j] ^= gf_exp[lf + gf_log[g[j + 1]]];
+        }
+    }
+}
+
 void frad_rs_encode_blocks(const uint8_t* data, size_t nblocks, size_t dsize,
                            size_t nsym, uint8_t* parity) {
     if (nsym == 0) return;
     if (!gf_init_done) gf_init();
     const uint8_t* g = gen_poly((int)nsym);
-    for (size_t b = 0; b < nblocks; b++) {
-        const uint8_t* msg = data + b * dsize;
-        uint8_t* rem = parity + b * nsym;
-        memset(rem, 0, nsym);
-        for (size_t i = 0; i < dsize; i++) {
-            uint8_t fb = msg[i] ^ rem[0];
-            memmove(rem, rem + 1, nsym - 1);
-            rem[nsym - 1] = 0;
-            if (fb) {
-                int lf = gf_log[fb];
-                for (size_t j = 0; j < nsym; j++)
-                    if (g[j + 1]) rem[j] ^= gf_exp[lf + gf_log[g[j + 1]]];
-            }
-        }
-    }
+    for (size_t b = 0; b < nblocks; b++)
+        rs_encode_one(data + b * dsize, dsize, nsym, g, parity + b * nsym);
 }
 
 // Berlekamp-Massey; returns locator degree (low-first in loc_out), -1 on fail.
@@ -326,15 +328,11 @@ static bool rs_synd(const uint8_t* c, size_t blen, size_t nsym, uint8_t* synd) {
     return clean;
 }
 
-// Repairs codewords in place; ok[b]=1 if clean/corrected, 0 if zero-filled.
-void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
-                           size_t nsym, uint8_t* ok) {
-    if (nsym == 0) { memset(ok, 1, nblocks); return; }
-    if (!gf_init_done) gf_init();
-    for (size_t b = 0; b < nblocks; b++) {
-        uint8_t* c = cw + b * blen;
+// Repair one codeword in place; true if clean/corrected (else caller
+// zero-fills, reference ecc.py:22).
+static bool rs_decode_one(uint8_t* c, size_t blen, size_t nsym) {
         uint8_t synd[256];
-        if (rs_synd(c, blen, nsym, synd)) { ok[b] = 1; continue; }
+        if (rs_synd(c, blen, nsym, synd)) return true;
 
         bool fixed = false;
         uint8_t loc[260];
@@ -380,13 +378,17 @@ void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
                 }
             }
         }
-        if (fixed) {
-            ok[b] = 1;
-        } else {
-            memset(c, 0, blen);
-            ok[b] = 0;
-        }
-    }
+        if (!fixed) memset(c, 0, blen);
+        return fixed;
+}
+
+// Repairs codewords in place; ok[b]=1 if clean/corrected, 0 if zero-filled.
+void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
+                           size_t nsym, uint8_t* ok) {
+    if (nsym == 0) { memset(ok, 1, nblocks); return; }
+    if (!gf_init_done) gf_init();
+    for (size_t b = 0; b < nblocks; b++)
+        ok[b] = rs_decode_one(cw + b * blen, blen, nsym) ? 1 : 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -759,6 +761,408 @@ void frad_p1_pack_batch(const uint32_t* words, const int64_t* nbits,
     std::vector<std::thread> ts;
     for (int t = 0; t < nthreads; t++) ts.emplace_back(p1_pack_worker, &ctx);
     for (auto& th : ts) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Batched frame assembly: RS armor + ASFH header + CRC for every frame of
+// a batch in one threaded C++ pass, writing the final byte stream directly
+// (replaces the per-frame Python ecc.encode + ASFH.write chain, reference
+// encoder.py:102-104 / asfh.py:51-73). The caller precomputes output
+// offsets (armored sizes are deterministic) so frames can be written
+// concurrently into one buffer.
+// ---------------------------------------------------------------------------
+
+struct FramePackCtx {
+    const uint8_t* payloads;
+    const int64_t* offsets;       // [B+1] raw payload offsets
+    int64_t nframes;
+    const uint8_t* bdis;          // [B] bit-depth index
+    const uint32_t* fsizes;       // [B] per-frame sample count
+    const uint8_t* fsize_idx;     // [B] CSS frame-size index (compact)
+    int profile, is_compact, channels;
+    uint32_t srate;
+    int srate_idx, overlap_ratio, little_endian;
+    int ecc, ecc_dsize, ecc_codesize;
+    const uint8_t* gen;           // RS generator poly (precomputed)
+    uint8_t* out;
+    const int64_t* out_offsets;   // [B+1]
+    std::atomic<int64_t>* next;
+};
+
+// Armored size of a raw payload (mirrors container/ecc.py::encode).
+static inline int64_t armored_len(int64_t rawlen, int dsize, int csize) {
+    if (rawlen <= 0 || csize <= 0) return rawlen < 0 ? 0 : rawlen;
+    int64_t nfull = rawlen / dsize;
+    int64_t rem = rawlen - nfull * dsize;
+    return rawlen + (nfull + (rem ? 1 : 0)) * csize;
+}
+
+static void frame_pack_worker(FramePackCtx* c) {
+    for (;;) {
+        int64_t i = c->next->fetch_add(1);
+        if (i >= c->nframes) return;
+        const uint8_t* raw = c->payloads + c->offsets[i];
+        int64_t rawlen = c->offsets[i + 1] - c->offsets[i];
+        uint8_t* dst = c->out + c->out_offsets[i];
+
+        bool armor = c->ecc && c->ecc_codesize > 0 && rawlen > 0;
+        int64_t alen = armor
+            ? armored_len(rawlen, c->ecc_dsize, c->ecc_codesize) : rawlen;
+        int hlen = c->is_compact ? (c->ecc ? 16 : 12) : 32;
+        int ext = alen >= 0xFFFFFFFFll ? 8 : 0;
+        uint8_t* body = dst + hlen + ext;
+
+        if (armor) {
+            const int ds = c->ecc_dsize, cs = c->ecc_codesize;
+            int64_t nfull = rawlen / ds;
+            const uint8_t* src = raw;
+            uint8_t* w = body;
+            for (int64_t b = 0; b < nfull; b++) {
+                memcpy(w, src, ds);
+                rs_encode_one(src, ds, cs, c->gen, w + ds);
+                src += ds;
+                w += ds + cs;
+            }
+            int64_t rem = rawlen - nfull * ds;
+            if (rem) {
+                memcpy(w, src, rem);
+                rs_encode_one(src, rem, cs, c->gen, w + rem);
+            }
+        } else if (rawlen > 0) {
+            memcpy(body, raw, rawlen);
+        }
+
+        // header (reference asfh.py:51-73 wire layout)
+        dst[0] = 0xFF; dst[1] = 0xD0; dst[2] = 0xD2; dst[3] = 0x98;
+        uint32_t lenfield = ext ? 0xFFFFFFFFu : (uint32_t)alen;
+        dst[4] = (uint8_t)(lenfield >> 24); dst[5] = (uint8_t)(lenfield >> 16);
+        dst[6] = (uint8_t)(lenfield >> 8);  dst[7] = (uint8_t)lenfield;
+        dst[8] = (uint8_t)(((c->profile & 7) << 5) | ((c->ecc ? 1 : 0) << 4)
+                           | ((c->little_endian ? 1 : 0) << 3)
+                           | (c->bdis[i] & 7));
+        if (c->is_compact) {
+            uint16_t css = (uint16_t)((((c->channels - 1) & 0x3F) << 10)
+                                      | ((c->srate_idx & 0xF) << 6)
+                                      | ((c->fsize_idx[i] & 0x1F) << 1));
+            dst[9] = (uint8_t)(css >> 8); dst[10] = (uint8_t)css;
+            int ov = c->overlap_ratio - 1;
+            dst[11] = (uint8_t)(ov > 0 ? ov : 0);
+            if (c->ecc) {
+                dst[12] = (uint8_t)c->ecc_dsize;
+                dst[13] = (uint8_t)c->ecc_codesize;
+                uint16_t crc = frad_crc16_ansi(body, (size_t)alen);
+                dst[14] = (uint8_t)(crc >> 8); dst[15] = (uint8_t)crc;
+            }
+        } else {
+            dst[9] = (uint8_t)(c->channels - 1);
+            dst[10] = (uint8_t)(c->ecc ? c->ecc_dsize : 0);
+            dst[11] = (uint8_t)(c->ecc ? c->ecc_codesize : 0);
+            dst[12] = (uint8_t)(c->srate >> 24); dst[13] = (uint8_t)(c->srate >> 16);
+            dst[14] = (uint8_t)(c->srate >> 8);  dst[15] = (uint8_t)c->srate;
+            memset(dst + 16, 0, 8);
+            uint32_t fs = c->fsizes[i];
+            dst[24] = (uint8_t)(fs >> 24); dst[25] = (uint8_t)(fs >> 16);
+            dst[26] = (uint8_t)(fs >> 8);  dst[27] = (uint8_t)fs;
+            uint32_t crc = (uint32_t)crc32(0L, body, (uInt)alen);
+            dst[28] = (uint8_t)(crc >> 24); dst[29] = (uint8_t)(crc >> 16);
+            dst[30] = (uint8_t)(crc >> 8);  dst[31] = (uint8_t)crc;
+        }
+        if (ext) {
+            uint64_t a = (uint64_t)alen;
+            for (int b = 0; b < 8; b++)
+                dst[hlen + b] = (uint8_t)(a >> (56 - 8 * b));
+        }
+    }
+}
+
+void frad_frame_pack_batch(
+        const uint8_t* payloads, const int64_t* offsets, int64_t nframes,
+        const uint8_t* bdis, const uint32_t* fsizes, const uint8_t* fsize_idx,
+        int profile, int is_compact, int channels, uint32_t srate,
+        int srate_idx, int overlap_ratio, int little_endian,
+        int ecc, int ecc_dsize, int ecc_codesize,
+        uint8_t* out, const int64_t* out_offsets, int nthreads) {
+    if (!gf_init_done) gf_init();
+    const uint8_t* gen = (ecc && ecc_codesize > 0) ? gen_poly(ecc_codesize)
+                                                   : nullptr;
+    std::atomic<int64_t> next(0);
+    FramePackCtx ctx = {payloads, offsets, nframes, bdis, fsizes, fsize_idx,
+                        profile, is_compact, channels, srate, srate_idx,
+                        overlap_ratio, little_endian, ecc, ecc_dsize,
+                        ecc_codesize, gen, out, out_offsets, &next};
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || nframes < 8) {
+        frame_pack_worker(&ctx);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(frame_pack_worker, &ctx);
+    for (auto& th : ts) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Batched ECC unarmor: per frame, CRC-verify the armored payload, strip
+// parity (clean / no-repair) or RS-correct block-by-block (damaged +
+// fix_error), writing raw payloads at caller-computed offsets. Replaces
+// the per-frame Python asfh.payload_crc_matches + ecc.decode chain
+// (reference decoder.py:63-68, ecc.py:14-25).
+// ---------------------------------------------------------------------------
+
+struct UnarmorCtx {
+    const uint8_t* payloads;
+    const int64_t* offsets;       // [B+1] armored payload offsets
+    int64_t nframes;
+    int dsize, csize;
+    const uint32_t* crcs;         // [B] header CRC values
+    int crc_is16, fix_error;
+    uint8_t* out;
+    const int64_t* out_offsets;   // [B+1] raw payload offsets
+    uint8_t* ok;                  // [B] 1 = clean or fully repaired
+    std::atomic<int64_t>* next;
+};
+
+static void unarmor_worker(UnarmorCtx* c) {
+    const int bs = c->dsize + c->csize;
+    std::vector<uint8_t> cw(bs);
+    for (;;) {
+        int64_t i = c->next->fetch_add(1);
+        if (i >= c->nframes) return;
+        const uint8_t* src = c->payloads + c->offsets[i];
+        int64_t plen = c->offsets[i + 1] - c->offsets[i];
+        uint8_t* dst = c->out + c->out_offsets[i];
+
+        bool clean = c->crc_is16
+            ? frad_crc16_ansi(src, (size_t)plen) == (uint16_t)c->crcs[i]
+            : (uint32_t)crc32(0L, src, (uInt)plen) == c->crcs[i];
+        bool repair = c->fix_error && !clean;
+
+        int64_t nfull = plen / bs;
+        int64_t rem = plen - nfull * bs;
+        bool all_ok = true;
+        for (int64_t b = 0; b < nfull; b++) {
+            const uint8_t* blk = src + b * bs;
+            uint8_t* o = dst + b * c->dsize;
+            if (repair) {
+                memcpy(cw.data(), blk, bs);
+                if (!rs_decode_one(cw.data(), bs, c->csize)) all_ok = false;
+                memcpy(o, cw.data(), c->dsize);
+            } else {
+                memcpy(o, blk, c->dsize);
+            }
+        }
+        if (rem) {
+            int64_t keep = rem - c->csize;
+            if (keep > 0) {
+                const uint8_t* blk = src + nfull * bs;
+                uint8_t* o = dst + nfull * c->dsize;
+                if (repair) {
+                    memcpy(cw.data(), blk, rem);
+                    if (!rs_decode_one(cw.data(), rem, c->csize)) all_ok = false;
+                    memcpy(o, cw.data(), keep);
+                } else {
+                    memcpy(o, blk, keep);
+                }
+            }
+        }
+        c->ok[i] = (clean || (repair && all_ok)) ? 1 : 0;
+    }
+}
+
+void frad_unarmor_batch(
+        const uint8_t* payloads, const int64_t* offsets, int64_t nframes,
+        int dsize, int csize, const uint32_t* crcs, int crc_is16,
+        int fix_error, uint8_t* out, const int64_t* out_offsets,
+        uint8_t* ok, int nthreads) {
+    if (!gf_init_done) gf_init();
+    if (csize > 0) gen_poly(csize);   // warm cache before threads
+    std::atomic<int64_t> next(0);
+    UnarmorCtx ctx = {payloads, offsets, nframes, dsize, csize, crcs,
+                      crc_is16, fix_error, out, out_offsets, ok, &next};
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || nframes < 8) {
+        unarmor_worker(&ctx);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(unarmor_worker, &ctx);
+    for (auto& th : ts) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Truncated-float packings for the lossless profiles (threaded, single
+// pass). Byte-for-byte identical to ops/packing.pack_floats/unpack_floats
+// (reference profile0.py:29-42 trim / :52-66 pad+scrub); the numpy
+// versions build strided temporaries that dominate profile-4 encode time.
+// Depths: 16/24/32/48/64 (12-bit stays on the numpy nibble path).
+// ---------------------------------------------------------------------------
+
+struct PackFloatsCtx {
+    const double* in;
+    uint8_t* out;
+    int bits, little;
+};
+
+static void pack_floats_span(size_t lo, size_t hi, void* vctx) {
+    PackFloatsCtx* c = (PackFloatsCtx*)vctx;
+    const double* in = c->in;
+    switch (c->bits) {
+    case 16: {
+        uint8_t* p = c->out + 2 * lo;
+        for (size_t i = lo; i < hi; i++, p += 2) {
+            _Float16 h = (_Float16)in[i];
+            uint16_t u;
+            memcpy(&u, &h, 2);
+            if (c->little) { p[0] = (uint8_t)u; p[1] = (uint8_t)(u >> 8); }
+            else { p[0] = (uint8_t)(u >> 8); p[1] = (uint8_t)u; }
+        }
+        break;
+    }
+    case 24: {
+        uint8_t* p = c->out + 3 * lo;
+        for (size_t i = lo; i < hi; i++, p += 3) {
+            float f = (float)in[i];
+            uint32_t u;
+            memcpy(&u, &f, 4);
+            if (c->little) {            // bytes 1..3 of the LE f32
+                p[0] = (uint8_t)(u >> 8); p[1] = (uint8_t)(u >> 16);
+                p[2] = (uint8_t)(u >> 24);
+            } else {                    // top 3 bytes of the BE f32
+                p[0] = (uint8_t)(u >> 24); p[1] = (uint8_t)(u >> 16);
+                p[2] = (uint8_t)(u >> 8);
+            }
+        }
+        break;
+    }
+    case 32: {
+        uint8_t* p = c->out + 4 * lo;
+        for (size_t i = lo; i < hi; i++, p += 4) {
+            float f = (float)in[i];
+            uint32_t u;
+            memcpy(&u, &f, 4);
+            if (c->little) {
+                p[0] = (uint8_t)u; p[1] = (uint8_t)(u >> 8);
+                p[2] = (uint8_t)(u >> 16); p[3] = (uint8_t)(u >> 24);
+            } else {
+                p[0] = (uint8_t)(u >> 24); p[1] = (uint8_t)(u >> 16);
+                p[2] = (uint8_t)(u >> 8);  p[3] = (uint8_t)u;
+            }
+        }
+        break;
+    }
+    case 48: {
+        uint8_t* p = c->out + 6 * lo;
+        for (size_t i = lo; i < hi; i++, p += 6) {
+            uint64_t u;
+            memcpy(&u, &in[i], 8);
+            if (c->little)              // bytes 2..7 of the LE f64
+                for (int b = 0; b < 6; b++) p[b] = (uint8_t)(u >> (16 + 8 * b));
+            else                        // top 6 bytes of the BE f64
+                for (int b = 0; b < 6; b++) p[b] = (uint8_t)(u >> (56 - 8 * b));
+        }
+        break;
+    }
+    default: {  // 64
+        uint8_t* p = c->out + 8 * lo;
+        for (size_t i = lo; i < hi; i++, p += 8) {
+            uint64_t u;
+            memcpy(&u, &in[i], 8);
+            if (c->little)
+                for (int b = 0; b < 8; b++) p[b] = (uint8_t)(u >> (8 * b));
+            else
+                for (int b = 0; b < 8; b++) p[b] = (uint8_t)(u >> (56 - 8 * b));
+        }
+        break;
+    }
+    }
+}
+
+void frad_pack_floats(const double* in, size_t n, int bits, int little,
+                      uint8_t* out, int nthreads) {
+    PackFloatsCtx ctx = {in, out, bits, little};
+    run_striped(n, nthreads, pack_floats_span, &ctx);
+}
+
+struct UnpackFloatsCtx {
+    const uint8_t* in;
+    double* out;
+    int bits, little;
+};
+
+static inline double scrub(double v) { return std::isfinite(v) ? v : 0.0; }
+
+static void unpack_floats_span(size_t lo, size_t hi, void* vctx) {
+    UnpackFloatsCtx* c = (UnpackFloatsCtx*)vctx;
+    switch (c->bits) {
+    case 16: {
+        const uint8_t* p = c->in + 2 * lo;
+        for (size_t i = lo; i < hi; i++, p += 2) {
+            uint16_t u = c->little ? (uint16_t)(p[0] | (p[1] << 8))
+                                   : (uint16_t)((p[0] << 8) | p[1]);
+            _Float16 h;
+            memcpy(&h, &u, 2);
+            c->out[i] = scrub((double)h);
+        }
+        break;
+    }
+    case 24: {
+        const uint8_t* p = c->in + 3 * lo;
+        for (size_t i = lo; i < hi; i++, p += 3) {
+            uint32_t u = c->little
+                ? ((uint32_t)p[0] << 8) | ((uint32_t)p[1] << 16) | ((uint32_t)p[2] << 24)
+                : ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) | ((uint32_t)p[2] << 8);
+            float f;
+            memcpy(&f, &u, 4);
+            c->out[i] = scrub((double)f);
+        }
+        break;
+    }
+    case 32: {
+        const uint8_t* p = c->in + 4 * lo;
+        for (size_t i = lo; i < hi; i++, p += 4) {
+            uint32_t u = c->little
+                ? (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24)
+                : ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) | ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+            float f;
+            memcpy(&f, &u, 4);
+            c->out[i] = scrub((double)f);
+        }
+        break;
+    }
+    case 48: {
+        const uint8_t* p = c->in + 6 * lo;
+        for (size_t i = lo; i < hi; i++, p += 6) {
+            uint64_t u = 0;
+            if (c->little)
+                for (int b = 0; b < 6; b++) u |= (uint64_t)p[b] << (16 + 8 * b);
+            else
+                for (int b = 0; b < 6; b++) u |= (uint64_t)p[b] << (56 - 8 * b);
+            double d;
+            memcpy(&d, &u, 8);
+            c->out[i] = scrub(d);
+        }
+        break;
+    }
+    default: {  // 64
+        const uint8_t* p = c->in + 8 * lo;
+        for (size_t i = lo; i < hi; i++, p += 8) {
+            uint64_t u = 0;
+            if (c->little)
+                for (int b = 0; b < 8; b++) u |= (uint64_t)p[b] << (8 * b);
+            else
+                for (int b = 0; b < 8; b++) u |= (uint64_t)p[b] << (56 - 8 * b);
+            double d;
+            memcpy(&d, &u, 8);
+            c->out[i] = scrub(d);
+        }
+        break;
+    }
+    }
+}
+
+void frad_unpack_floats(const uint8_t* in, size_t n, int bits, int little,
+                        double* out, int nthreads) {
+    UnpackFloatsCtx ctx = {in, out, bits, little};
+    run_striped(n, nthreads, unpack_floats_span, &ctx);
 }
 
 } // extern "C"

@@ -57,6 +57,12 @@ def pack_floats(values: np.ndarray, bits: int, little_endian: bool) -> bytes:
         v12 = values.astype(np.float16).view(np.uint16) >> 4
         return _pack_nibble_triples(v12)
 
+    from .. import native
+    if native.has("frad_pack_floats") and values.size >= 4096:
+        # threaded single-pass C++ (the numpy path below builds strided
+        # byte temporaries that dominate profile-4 encode)
+        return native.pack_floats(values, bits, little_endian)
+
     endian = "<" if little_endian else ">"
     raw = np.ascontiguousarray(values.astype(endian + CONTAINER[bits]))
     if bits in (16, 32, 64):
@@ -74,9 +80,13 @@ def unpack_floats(frad: bytes, bits: int, little_endian: bool) -> np.ndarray:
     NaN/Inf scrubbed to 0 (reference profile0.py:52-66)."""
     if bits not in DEPTHS:
         raise ValueError(f"Illegal bits value {bits}")
+    from .. import native
     if bits == 12:
         v12 = _unpack_nibble_triples(np.frombuffer(frad, dtype=np.uint8))
         raw = (v12.astype(np.uint16) << 4).view(np.float16)
+    elif (len(frad) >= 16384 and len(frad) % (bits // 8) == 0
+          and native.has("frad_unpack_floats")):
+        return native.unpack_floats(frad, bits, little_endian)
     elif bits in (16, 32, 64):
         endian = "<" if little_endian else ">"
         raw = np.frombuffer(frad, dtype=endian + CONTAINER[bits])

@@ -62,31 +62,55 @@ def _pool() -> ThreadPoolExecutor:
     return ThreadPoolExecutor(max_workers=8, thread_name_prefix="frad-host")
 
 
-@functools.lru_cache(maxsize=1)
-def _meta_packer():
-    """Jitted concat of the per-frame scalars + thresholds into ONE int32
-    array so the encode path pays a single small-d2h round trip instead
-    of four (the link's ~30 ms latency dominates small transfers)."""
+@functools.lru_cache(maxsize=32)
+def _egr_fused_packer(max_words: int, wfetch: int):
+    """One jitted program: EGR-pack the symbol frames AND fuse the
+    per-frame meta (nbits, k, overflow, thresholds) with the first
+    `wfetch` word columns into a single uint32 matrix.
+
+    The fetch of that one matrix is the only d2h the EGR stage needs in
+    steady state — the old path blocked on a separate small meta
+    transfer (~30 ms tunnel latency) before it could even SIZE the word
+    fetch. `wfetch` comes from the previous batch's observed usage
+    (bucketed); underestimates are healed by a rare column-span refetch.
+    Returns (fused [B, meta+wfetch] u32, words [B, max_words] u32 —
+    left on device for the refetch path).
+    """
     import jax
     import jax.numpy as jnp
 
-    def pack(nbits, ks, ovf, tq):
+    def pack(fq2d, tq):
+        words, nbits, ks, ovf = bitpack.egr_pack_frames(fq2d, max_words)
         b = nbits.shape[0]
-        return jnp.concatenate(
+        meta = jnp.concatenate(
             [nbits[:, None].astype(jnp.int32), ks[:, None].astype(jnp.int32),
              ovf[:, None].astype(jnp.int32),
              tq.reshape(b, -1).astype(jnp.int32)], axis=1)
+        fused = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(meta, jnp.uint32),
+             words[:, :wfetch]], axis=1)
+        return fused, words
 
     return jax.jit(pack)
 
 
 @functools.lru_cache(maxsize=32)
-def _col_slicer(width: int):
-    """Jitted [:, :width] column trim (used to fetch only the EGR word
-    columns a batch actually filled; cached per bucketed width)."""
+def _col_span_slicer(lo: int, hi: int):
+    """Jitted [:, lo:hi] column span (the EGR underestimate refetch)."""
     import jax
 
-    return jax.jit(lambda a: a[:, :width])
+    return jax.jit(lambda a: a[:, lo:hi])
+
+
+#: (symbols, tq_cols, max_words) -> word columns to fetch next time —
+#: the EGR stage's width predictor (see _egr_fused_packer)
+_WFETCH: dict[tuple[int, int, int], int] = {}
+
+_WBUCKET = 64   # 256-byte granularity bounds the compiled shape count
+
+
+def _bucket_words(w: int, max_words: int) -> int:
+    return min(max_words, -(-max(w, 1) // _WBUCKET) * _WBUCKET)
 
 
 @functools.lru_cache(maxsize=8)
@@ -256,11 +280,21 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     # ---- tensor domain: batched core calls over the uniform frames ----
     payload_parts: list[tuple[bytes, int, int]] = []  # (payload, bdi, flen)
 
+    olap_active = is_compact and overlap_ratio > 1
+
     def _gather(frs: list[tuple[int, int]], length: int) -> np.ndarray:
+        s0 = frs[0][0]
+        if (not olap_active and s0 >= 0
+                and frs[-1][0] - s0 == (len(frs) - 1) * length
+                and frs[-1][0] + length <= total):
+            # contiguous non-overlapping frames: a reshape VIEW of the pcm
+            # (the lossless profiles' hot path pays no gather copy)
+            return pcm[s0: s0 + len(frs) * length].reshape(
+                len(frs), length, channels)
         out = np.zeros((len(frs), length, channels), dtype=np.float64)
         for i, (s, ln) in enumerate(frs):
-            s0 = max(s, 0)
-            out[i, s0 - s: ln] = pcm[s0: s + ln]
+            sa = max(s, 0)
+            out[i, sa - s: ln] = pcm[sa: s + ln]
         return out
 
     def _encode_frames(frs: list[tuple[int, int]]) -> list[tuple[bytes, int, int]]:
@@ -297,79 +331,98 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
 
             # On-device EGR bit-pack (bits <= 24 keeps symbols < 2^23, the
             # exact-f32 range): ships ~4-12 bits/symbol over the d2h link
-            # instead of 32, which is the pipeline's bottleneck. The host
-            # byte stage for chunk k-1 overlaps chunk k's transfer (jax
-            # dispatch is async; only np.asarray blocks).
+            # instead of 32, which is the pipeline's bottleneck. Meta
+            # (nbits/k/overflow/thresholds) rides IN the same fetch as the
+            # word columns — the stage no longer blocks on a separate
+            # latency-bound meta round trip to size the word transfer; the
+            # fetch width comes from the previous batch's usage.
             if bits <= 24 and len(frs) > 1:
+                b = len(frs)
                 m = fq.shape[1] * fq.shape[2]
                 max_words = max(m * 12 // 32, 16)
+                mcols = 3 + tq.shape[1] * tq.shape[2]
+                pkey = (m, mcols, max_words)
+                wfetch = _WFETCH.get(pkey, max_words)
                 with _stage("enc:egr-pack"):
-                    words, nbits_d, ks_d, ovf_d = bitpack.egr_pack_frames(
-                        fq.reshape(len(frs), m), max_words)
-                    meta = _meta_packer()(nbits_d, ks_d, ovf_d, tq)
-                    meta.copy_to_host_async()
-                    meta = np.asarray(meta)
-                nbits = meta[:, 0]
-                ks = meta[:, 1]
-                ovf = meta[:, 2].astype(bool)
-                tqh = meta[:, 3:].reshape(len(frs), tq.shape[1], tq.shape[2])
-                # host fallback for (rare) frames whose stream overflowed
-                fq_fallback = {int(i): np.asarray(fq[int(i)])
-                               for i in np.flatnonzero(ovf)}
-                # the d2h link only needs the USED word columns — nbits is
-                # on host now, so trim the sizing estimate down to the
-                # batch max (bucketed to 64 words = 256 B so the slice
-                # program compiles a bounded number of shapes)
-                used = int(nbits[~ovf].max()) if (~ovf).any() else 32
-                wneed = min(max_words, -(-max(used, 1) // (32 * 64)) * 64)
-                if wneed < max_words:
-                    words = _col_slicer(wneed)(words)
-
-                def pack_one(words_h, i: int) -> tuple[bytes, int, int]:
-                    if ovf[i]:
-                        freqs_gol = golomb.encode(fq_fallback[i].ravel().astype(np.int64))
-                    else:
-                        freqs_gol = bitpack.words_to_stream(words_h, nbits[i], ks[i])
-                    thres_gol = golomb.encode(tqh[i].ravel().astype(np.int64))
-                    frad = struct.pack(">I", len(thres_gol)) + thres_gol + freqs_gol
-                    return zlib.compress(frad, wbits=-15), bdi, frs[i][1]
-
-                # pipeline: pack chunk k on host threads while chunk k+1's
-                # words are still in flight on the d2h link
-                with _stage("enc:host-pack"):
-                    parts = 8 if len(frs) >= 16 else 1
-                    chunks = _splitter(parts)(words) if parts > 1 else (words,)
+                    fused_d, words_d = _egr_fused_packer(max_words, wfetch)(
+                        fq.reshape(b, m), tq)
+                    parts = 8 if b >= 16 else 1
+                    chunks = _splitter(parts)(fused_d) if parts > 1 \
+                        else (fused_d,)
                     for c in chunks:
                         c.copy_to_host_async()
-                    if native.has("frad_p1_pack_batch"):
-                        # one C++ pass per chunk (EGR thresholds + word
-                        # serialisation + raw deflate, threaded) instead
-                        # of a Python task per frame
-                        results: list[tuple[bytes, int, int]] = []
-                        row = 0
-                        for c in chunks:
-                            h = np.asarray(c)
-                            r0, r1 = row, row + h.shape[0]
+
+                # host byte stage for chunk k overlaps chunk k+1's d2h
+                max_used_bits = 32
+                extra: np.ndarray | None = None   # underestimate refetch
+                results: list[tuple[bytes, int, int]] = []
+                use_native = native.has("frad_p1_pack_batch")
+                futures = []
+                row = 0
+                with _stage("enc:host-pack"):
+                    for c in chunks:
+                        h = np.asarray(c)
+                        rows = h.shape[0]
+                        meta = h[:, :mcols].view(np.int32)
+                        nbits = meta[:, 0].astype(np.int64)
+                        ks = meta[:, 1].astype(np.int64)
+                        ovf = meta[:, 2].astype(bool)
+                        tqh = meta[:, 3:].astype(np.int64)
+                        words_h = h[:, mcols:]
+                        good = ~ovf
+                        if good.any():
+                            max_used_bits = max(max_used_bits,
+                                                int(nbits[good].max()))
+                        if (good & (nbits > wfetch * 32)).any():
+                            # predictor undershot: pull the remaining word
+                            # columns for the whole batch once (rare — the
+                            # next batch's wfetch absorbs the new max)
+                            if extra is None:
+                                extra = np.asarray(
+                                    _col_span_slicer(wfetch, max_words)(words_d))
+                            words_h = np.concatenate(
+                                [words_h, extra[row: row + rows]], axis=1)
+                        # (rare) frames whose stream overflowed max_words
+                        fq_fallback = {int(i): np.asarray(fq[row + int(i)])
+                                       for i in np.flatnonzero(ovf)}
+                        if use_native:
+                            # one C++ pass per chunk: EGR thresholds +
+                            # word serialisation + raw deflate, threaded
                             pls = native.p1_pack_batch(
-                                h, nbits[r0:r1], ks[r0:r1], ovf[r0:r1],
-                                tqh[r0:r1].reshape(r1 - r0, -1))
+                                np.ascontiguousarray(words_h),
+                                nbits, ks, ovf, tqh)
                             for j, pl in enumerate(pls):
-                                i = r0 + j
                                 if pl is None:  # overflow -> host fallback
                                     pl = profile1.pack_streams(
-                                        fq_fallback[i].ravel(),
-                                        tqh[i].ravel())
-                                results.append((pl, bdi, frs[i][1]))
-                            row = r1
-                        return results
-                    futures = []
-                    row = 0
-                    for c in chunks:
-                        host_rows = np.asarray(c)
-                        for j in range(host_rows.shape[0]):
-                            futures.append(_pool().submit(pack_one, host_rows[j], row))
-                            row += 1
-                    return [f.result() for f in futures]
+                                        fq_fallback[j].ravel(),
+                                        tqh[j].ravel())
+                                results.append((pl, bdi, frs[row + j][1]))
+                        else:
+                            def pack_one(wrow, fq_fb, nb, k, trow, flen):
+                                if fq_fb is not None:
+                                    freqs_gol = golomb.encode(
+                                        fq_fb.ravel().astype(np.int64))
+                                else:
+                                    freqs_gol = bitpack.words_to_stream(
+                                        wrow, nb, k)
+                                thres_gol = golomb.encode(trow)
+                                frad = (struct.pack(">I", len(thres_gol))
+                                        + thres_gol + freqs_gol)
+                                return (zlib.compress(frad, wbits=-15),
+                                        bdi, flen)
+
+                            for j in range(rows):
+                                futures.append(_pool().submit(
+                                    pack_one, words_h[j], fq_fallback.get(j),
+                                    nbits[j], ks[j], tqh[j], frs[row + j][1]))
+                        row += rows
+                    if futures:
+                        results = [f.result() for f in futures]
+                # predict the next batch's fetch width: observed max plus
+                # 1/8 headroom, bucketed
+                _WFETCH[pkey] = _bucket_words(
+                    (-(-max_used_bits // 32)) * 9 // 8, max_words)
+                return results
 
             fq = np.asarray(fq)
             tq = np.asarray(tq)
@@ -465,7 +518,13 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                         arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
             coeffs = arr
-        maxabs = np.max(np.abs(coeffs.reshape(len(frs), -1)), axis=1) if coeffs.size else np.zeros(len(frs))
+        if coeffs.size:
+            flat = coeffs.reshape(len(frs), -1)
+            # max(|x|) as max/-min (no |x| temporary: profile 4 is the
+            # no-transform config, every host pass shows on the clock)
+            maxabs = np.maximum(flat.max(axis=1), -flat.min(axis=1))
+        else:
+            maxabs = np.zeros(len(frs))
 
         base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
         if profile == 0 and coeffs.dtype != np.float64 and any(
@@ -489,7 +548,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     payload = packing.pack_floats(coeffs[i].ravel(), d, little_endian)
                     results[i] = (payload, bdi, frs[i][1])
                 continue
-            blob = packing.pack_floats(coeffs[idxs].reshape(-1), d, little_endian)
+            group = coeffs if len(idxs) == len(frs) else coeffs[idxs]
+            blob = packing.pack_floats(group.reshape(-1), d, little_endian)
             per = len(blob) // len(idxs)
             for j, i in enumerate(idxs):
                 results[i] = (blob[j * per:(j + 1) * per], bdi, frs[i][1])
@@ -499,17 +559,40 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     payload_parts.extend(_encode_frames(tail))
 
     # ---- byte domain: ECC + framing (order-preserving) ----
-    def frame_bytes(part: tuple[bytes, int, int]) -> bytes:
-        payload, bdi, flen = part
-        if enable_ecc:
-            payload = ecc_mod.encode(payload, *ecc_ratio)
-        a = _asfh_for(profile, bdi, channels, srate, flen,
-                      ecc=enable_ecc, ecc_ratio=ecc_ratio,
-                      little_endian=little_endian, overlap_ratio=overlap_ratio)
-        return a.write(payload)
-
     with _stage("enc:frame"):
-        framed = list(_pool().map(frame_bytes, payload_parts))
+        if (native.has("frad_frame_pack_batch") and payload_parts
+                and not (enable_ecc and ecc_ratio[0] <= 0)):
+            # one threaded C++ pass: RS armor + ASFH header + CRC per
+            # frame, written straight into the output stream buffer
+            b = len(payload_parts)
+            bdis = np.fromiter((p[1] for p in payload_parts), np.uint8, b)
+            flens = np.fromiter((p[2] for p in payload_parts), np.uint32, b)
+            if is_compact:
+                fidx_of = {fl: compact.get_samples_index(int(fl))
+                           for fl in set(flens.tolist())}
+                fidx = np.fromiter((fidx_of[int(f)] for f in flens),
+                                   np.uint8, b)
+                sidx = compact.get_srate_index(srate)
+            else:
+                fidx, sidx = None, 0
+            framed = [native.frame_pack_batch(
+                [p[0] for p in payload_parts], bdis, flens, fidx,
+                profile=profile, is_compact=is_compact, channels=channels,
+                srate=srate, srate_idx=sidx, overlap_ratio=overlap_ratio,
+                little_endian=little_endian, ecc=enable_ecc,
+                ecc_dsize=ecc_ratio[0], ecc_codesize=ecc_ratio[1])]
+        else:
+            def frame_bytes(part: tuple[bytes, int, int]) -> bytes:
+                payload, bdi, flen = part
+                if enable_ecc:
+                    payload = ecc_mod.encode(payload, *ecc_ratio)
+                a = _asfh_for(profile, bdi, channels, srate, flen,
+                              ecc=enable_ecc, ecc_ratio=ecc_ratio,
+                              little_endian=little_endian,
+                              overlap_ratio=overlap_ratio)
+                return a.write(payload)
+
+            framed = list(_pool().map(frame_bytes, payload_parts))
 
     if is_compact and terms:
         a = _asfh_for(profile, payload_parts[-1][1], channels, srate,
@@ -582,11 +665,21 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
     prof = h0.profile
 
     if h0.ecc:
-        def de_ecc(i: int) -> bytes:
-            repair = fix_error and not hs[i].payload_crc_matches(ps[i])
-            return ecc_mod.decode(ps[i], hs[i].ecc_dsize, hs[i].ecc_codesize, repair)
         with _stage("dec:ecc"):
-            ps = list(_pool().map(de_ecc, range(run)))
+            if (native.has("frad_unarmor_batch") and h0.ecc_dsize > 0
+                    and h0.ecc_codesize > 0):
+                # one threaded C++ pass: CRC verify + parity strip (or
+                # RS repair on mismatch) for the whole run
+                crcs = np.fromiter((h.crc for h in hs), np.uint32, run)
+                ps, _ok = native.unarmor_batch(
+                    ps, h0.ecc_dsize, h0.ecc_codesize, crcs,
+                    prof in COMPACT, fix_error)
+            else:
+                def de_ecc(i: int) -> bytes:
+                    repair = fix_error and not hs[i].payload_crc_matches(ps[i])
+                    return ecc_mod.decode(ps[i], hs[i].ecc_dsize,
+                                          hs[i].ecc_codesize, repair)
+                ps = list(_pool().map(de_ecc, range(run)))
 
     if prof in COMPACT and h0.overlap_ratio > 1:
         cut = n * (h0.overlap_ratio - 1) // h0.overlap_ratio
@@ -934,3 +1027,107 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
 def _reframe(a: ASFH, payload: bytes | None) -> bytes:
     """Reserialise an already-parsed frame (header buffer is authoritative)."""
     return a.buffer + (payload or b"")
+
+
+def batch_repair(stream: bytes, ecc_ratio: tuple[int, int] = DEFAULT_ECC_RATIO,
+                 *, fix_error: bool = True) -> bytes:
+    """Re-armor a whole FrAD stream in batched mode (the Repairer engine's
+    fast path; byte-identical to streaming Repairer.process()+flush()).
+
+    Every complete frame is CRC-verified, RS-repaired when damaged (and
+    `fix_error`), and re-armored at `ecc_ratio` with a recomputed CRC —
+    payload bytes stay untouched (reference repairer.py:28-71 semantics).
+    Non-frame bytes (file header, junk, trailing partials) and
+    force-flush terminators pass through verbatim. Consecutive frames
+    sharing a header configuration are unarmored + re-framed as single
+    threaded native batch calls.
+    """
+    from ..repairer import sanitize_ecc_ratio
+
+    ecc_ratio, _warn = sanitize_ecc_ratio(ecc_ratio)
+    out: list[bytes] = []
+    pos = 0
+    n = len(stream)
+    # pending run of frames sharing a re-frame configuration
+    run_key = None
+    run_hs: list[ASFH] = []
+    run_ps: list[bytes] = []
+
+    def flush_run() -> None:
+        nonlocal run_key, run_hs, run_ps
+        if not run_hs:
+            return
+        hs, ps = run_hs, run_ps
+        run_key, run_hs, run_ps = None, [], []
+        h0 = hs[0]
+        if h0.ecc:
+            if (native.has("frad_unarmor_batch") and h0.ecc_dsize > 0
+                    and h0.ecc_codesize > 0):
+                crcs = np.fromiter((h.crc for h in hs), np.uint32, len(hs))
+                ps, _ok = native.unarmor_batch(
+                    ps, h0.ecc_dsize, h0.ecc_codesize, crcs,
+                    h0.profile in COMPACT, fix_error)
+            else:
+                ps = [ecc_mod.decode(
+                    p, h0.ecc_dsize, h0.ecc_codesize,
+                    fix_error and not h.payload_crc_matches(p))
+                    for h, p in zip(hs, ps)]
+        if native.has("frad_frame_pack_batch"):
+            b = len(hs)
+            bdis = np.fromiter((h.bit_depth_index for h in hs), np.uint8, b)
+            flens = np.fromiter((h.fsize for h in hs), np.uint32, b)
+            if h0.profile in COMPACT:
+                fidx_of = {fl: compact.get_samples_index(int(fl))
+                           for fl in set(flens.tolist())}
+                fidx = np.fromiter((fidx_of[int(f)] for f in flens),
+                                   np.uint8, b)
+                sidx = compact.get_srate_index(h0.srate)
+            else:
+                fidx, sidx = None, 0
+            out.append(native.frame_pack_batch(
+                ps, bdis, flens, fidx, profile=h0.profile,
+                is_compact=h0.profile in COMPACT, channels=h0.channels,
+                srate=h0.srate, srate_idx=sidx,
+                overlap_ratio=h0.overlap_ratio, little_endian=h0.endian,
+                ecc=True, ecc_dsize=ecc_ratio[0], ecc_codesize=ecc_ratio[1]))
+        else:
+            for h, p in zip(hs, ps):
+                h.ecc = True
+                h.ecc_dsize, h.ecc_codesize = ecc_ratio
+                out.append(h.write(ecc_mod.encode(p, *ecc_ratio)))
+
+    while True:
+        idx = stream.find(FRM_SIGN, pos)
+        if idx < 0:
+            flush_run()
+            out.append(stream[pos:])
+            break
+        if idx > pos:
+            flush_run()
+            out.append(stream[pos:idx])           # passthrough bytes
+        a = ASFH()
+        status, _ = a.read(stream[idx: idx + 48])
+        if status == FORCE_FLUSH:
+            flush_run()
+            out.append(stream[idx: idx + a.header_bytes])
+            pos = idx + a.header_bytes
+            continue
+        if status != COMPLETE or idx + a.header_bytes + a.frmbytes > n:
+            # truncated trailing frame: passes through (Repairer.flush())
+            flush_run()
+            out.append(stream[idx:])
+            break
+        key = (a.profile, a.channels, a.srate, a.endian, a.overlap_ratio,
+               a.ecc, a.ecc_dsize, a.ecc_codesize)
+        if key != run_key:
+            flush_run()
+            run_key = key
+        run_hs.append(a)
+        run_ps.append(stream[idx + a.header_bytes:
+                             idx + a.header_bytes + a.frmbytes])
+        pos = idx + a.header_bytes + a.frmbytes
+        if pos >= n:
+            flush_run()
+            break
+
+    return b"".join(out)

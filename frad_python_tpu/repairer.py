@@ -96,11 +96,12 @@ class Repairer:
             self._state = _PAYLOAD
             return True
         if status == FORCE_FLUSH:
-            # terminator frames carry no payload: re-emit and rescan
-            # (clearing resets the parser — the reference leaves it
-            # buffered and would duplicate the terminator on re-entry)
+            # terminator frames carry no payload: re-emit and keep
+            # scanning — the stream continues after a terminator
+            # (reference repairer.py re-enters its loop here)
             out.append(self.asfh.force_flush())
             self.asfh.clear()
+            return True
         return False        # INCOMPLETE: wait for more header bytes
 
     def _advance_payload(self, out: list[bytes], at_eof: bool) -> bool:

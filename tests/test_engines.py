@@ -226,6 +226,26 @@ class TestRepairer:
         out = decode_all(Decoder(fix_error=False), repaired)
         np.testing.assert_array_equal(out, sig)
 
+    def test_repair_continues_past_force_flush_terminator(self):
+        """Frames AFTER a compact stream's force-flush terminator must
+        still be re-armored in the same process() call (regression: the
+        scanner used to starve at the terminator and flush the rest raw)."""
+        sig, raw = make_pcm(seconds=0.05)
+        enc1 = Encoder(1, 44100, 2, 16, 2048, "f64be")
+        part1 = encode_all(enc1, raw)          # ends with terminators
+        part2 = encode_all(Encoder(4, 44100, 2, 64, 512, "f64be"), raw)
+        rep = Repairer((96, 24))
+        out = rep.process(part1 + part2) + rep.flush()
+        assert len(out) > len(part1) + len(part2)   # parity added throughout
+        # every complete frame in the output must carry the ECC flag
+        from frad_python_tpu.parallel.pipeline import _parse_frames
+        headers, payloads, tail = _parse_frames(out)
+        assert not tail
+        armored = [h.ecc for h, p in zip(headers, payloads) if p is not None]
+        assert armored and all(armored)
+        decoded = decode_all(Decoder(fix_error=True), out)
+        assert decoded.size
+
     def test_passthrough_of_non_frame_bytes(self):
         from frad_python_tpu.container import head
         hdr = head.builder([("k", b"v")], b"")

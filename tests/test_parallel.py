@@ -97,6 +97,89 @@ class TestBatchPipeline:
             np.testing.assert_allclose(got, ref, atol=1e-12)
 
 
+class TestEgrFetchPredictor:
+    def test_underestimated_width_refetches_and_stays_byte_exact(self):
+        """Force the EGR word-fetch predictor to undershoot: the column
+        refetch path must heal it and the stream stays byte-identical."""
+        from frad_python_tpu.parallel import pipeline
+
+        pcm = rng.standard_normal((9999, 2)) * 0.4
+        want = batch_encode(pcm, 1, 48000, 16, 2048)
+        saved = dict(pipeline._WFETCH)
+        try:
+            pipeline._WFETCH.clear()
+            # every key maps to the minimum bucket -> guaranteed undershoot
+            got_full = batch_encode(pcm, 1, 48000, 16, 2048)  # seeds keys
+            for k in list(pipeline._WFETCH):
+                pipeline._WFETCH[k] = pipeline._WBUCKET
+            got = batch_encode(pcm, 1, 48000, 16, 2048)
+            relearned = dict(pipeline._WFETCH)
+        finally:
+            pipeline._WFETCH.clear()
+            pipeline._WFETCH.update(saved)
+        assert got_full == want
+        assert got == want
+        # and the predictor re-learned a sane width from the refetch run
+        assert all(v > pipeline._WBUCKET for v in relearned.values())
+
+
+class TestBatchRepair:
+    """batch_repair must be byte-identical to the streaming Repairer."""
+
+    def _stream_repair(self, stream, ratio=(96, 24)):
+        from frad_python_tpu import Repairer
+        rep = Repairer(ratio)
+        return rep.process(stream) + rep.flush()
+
+    @pytest.mark.parametrize("profile,bits,ecc", [
+        (4, 64, False), (4, 64, True), (0, 24, False), (1, 16, True),
+    ])
+    def test_matches_streaming_repairer(self, profile, bits, ecc):
+        from frad_python_tpu.parallel import batch_repair
+        pcm = rng.standard_normal((6000, 2)) * 0.4
+        stream = batch_encode(pcm, profile, 44100, bits, 512 if profile != 1
+                              else 2048, enable_ecc=ecc)
+        got = batch_repair(stream, (96, 24))
+        want = self._stream_repair(stream, (96, 24))
+        assert got == want
+
+    def test_damaged_stream_and_junk_passthrough(self):
+        from frad_python_tpu.container import head
+        from frad_python_tpu.parallel import batch_repair
+        pcm = rng.standard_normal((4000, 2)) * 0.4
+        stream = bytearray(
+            head.builder([("k", b"v")], b"")
+            + batch_encode(pcm, 4, 44100, 64, 512, enable_ecc=True))
+        stream[160] ^= 0xAA          # damage inside the first frame body
+        stream = bytes(stream)
+        got = batch_repair(stream, (48, 12))
+        want = self._stream_repair(stream, (48, 12))
+        assert got == want
+        # and the repaired stream decodes clean without repair enabled
+        out = stream_decode(got[got.find(b"\xff\xd0\xd2\x98"):], fix=False)
+        np.testing.assert_array_equal(out, pcm)
+
+    def test_mixed_profile_runs(self):
+        from frad_python_tpu.parallel import batch_repair
+        pcm = rng.standard_normal((4096, 2)) * 0.4
+        s = (batch_encode(pcm, 0, 44100, 24, 512)
+             + batch_encode(pcm, 1, 48000, 16, 2048, enable_ecc=True)
+             + batch_encode(pcm, 4, 44100, 64, 512))
+        got = batch_repair(s, (96, 24))
+        want = self._stream_repair(s, (96, 24))
+        assert got == want
+
+    def test_python_fallback_matches_native(self, monkeypatch):
+        from frad_python_tpu import native
+        from frad_python_tpu.parallel import batch_repair
+        pcm = rng.standard_normal((3000, 2)) * 0.4
+        stream = batch_encode(pcm, 4, 44100, 64, 512, enable_ecc=True)
+        got_native = batch_repair(stream, (96, 24))
+        monkeypatch.setattr(native, "has", lambda name: False)
+        got_py = batch_repair(stream, (96, 24))
+        assert got_native == got_py
+
+
 class TestShardedCores:
     def setup_method(self, method):
         assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
