@@ -55,6 +55,50 @@ from frad_python_tpu.utils.tracing import StageTimer  # noqa: E402
 
 HEADLINE = "p1_stereo_44k1"
 
+
+def probe_link(size: int = 8 << 20, parts: int = 8) -> dict:
+    """Measure TODAY's tunnel ceiling with the pipeline's own transfer
+    policy (8 concurrent ~1 MB streams): min-of-3 h2d + d2h MB/s.
+
+    Per-config results divide their observed bytes/wall by these numbers,
+    so BENCH_DETAIL says whether a config is transport-capped (near the
+    ceiling) or host-capped (far below it) — on the link as it behaves
+    during THIS run, not as it behaved when BASELINE.md was written.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(0)
+    host = rng.integers(0, 2**31, size=size // 4, dtype=np.int32)
+    pool = ThreadPoolExecutor(max_workers=parts)
+    bounds = [len(host) * i // parts for i in range(parts + 1)]
+    dev = jax.device_put(host)
+    dev.block_until_ready()
+    split = jax.jit(lambda a: tuple(
+        a[bounds[i]:bounds[i + 1]] for i in range(parts)))
+
+    def h2d() -> float:
+        t0 = time.perf_counter()
+        for c in pool.map(lambda i: jax.device_put(
+                host[bounds[i]:bounds[i + 1]]), range(parts)):
+            c.block_until_ready()
+        return time.perf_counter() - t0
+
+    def d2h() -> float:
+        chunks = split(dev)
+        for c in chunks:
+            c.block_until_ready()
+        t0 = time.perf_counter()
+        for c in chunks:
+            c.copy_to_host_async()
+        list(pool.map(np.asarray, chunks))
+        return time.perf_counter() - t0
+
+    h2d(), d2h()                      # warm both directions untimed
+    mb = size / (1 << 20)
+    return {"h2d_MBps": mb / min(h2d() for _ in range(3)),
+            "d2h_MBps": mb / min(d2h() for _ in range(3)),
+            "probe_MB": mb, "parts": parts}
+
 #: hires crosses into 8192-point frames and 8 channels; it needs a longer
 #: window than the 2048-frame configs to land >= 3 steady-state passes
 BUDGET_S = {"hires_96k_8ch": 150.0}
@@ -79,6 +123,7 @@ def make_audio(seconds: float, srate: int, ch: int) -> np.ndarray:
 
 
 def run_config(name: str, cfg: dict, compute_dtype: str | None,
+               link: dict | None = None,
                seconds: float = 30.0, min_wall: float = 3.0) -> dict:
     pcm = make_audio(seconds, cfg["srate"], cfg["channels"])
     on_tpu = compute_dtype == "float32"
@@ -123,6 +168,34 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     print(f"  {name} stages:", file=sys.stderr)
     for line in pipeline.STAGES.summary().splitlines():
         print(f"    {line}", file=sys.stderr)
+
+    # ---- link speed-of-light accounting (VERDICT r2 #2) ----
+    # bytes are metered at every transfer site in the pipeline; the
+    # "floor" is the wall a pass would take if the link (at the ceiling
+    # probe_link measured MINUTES ago, full-duplex) were the only cost.
+    npass = max(len(pass_fps), 1)
+    stats = pipeline.STAGES
+    link_acct = {}
+    if link and (stats.bytes.get("h2d") or stats.bytes.get("d2h")):
+        mb = {d: stats.bytes.get(d, 0) / (1 << 20) / npass for d in ("h2d", "d2h")}
+        waits = {d: stats.transfer_wait(d) / npass for d in ("h2d", "d2h")}
+        floor = max(mb["h2d"] / link["h2d_MBps"], mb["d2h"] / link["d2h_MBps"])
+        link_acct = {
+            "h2d_MB_per_pass": round(mb["h2d"], 2),
+            "d2h_MB_per_pass": round(mb["d2h"], 2),
+            "h2d_blocked_s_per_pass": round(waits["h2d"], 3),
+            "d2h_blocked_s_per_pass": round(waits["d2h"], 3),
+            "d2h_eff_MBps": round(mb["d2h"] / waits["d2h"], 1) if waits["d2h"] > 1e-6 else None,
+            "link_floor_s_per_pass": round(floor, 3),
+            "pct_of_link_floor": round(100 * floor / (wall / npass), 1),
+        }
+        verdictw = ("transport-capped" if link_acct["pct_of_link_floor"] >= 70
+                    else "host/compute-capped")
+        link_acct["bound"] = verdictw
+        print(f"    link: {mb['h2d']:.1f} MB h2d + {mb['d2h']:.1f} MB d2h "
+              f"/pass; floor {floor:.3f}s = "
+              f"{link_acct['pct_of_link_floor']:.0f}% of pass wall "
+              f"({verdictw})", file=sys.stderr)
     pipeline.STAGES = None
     # median pass rate resists the tunnel's multi-second transients
     fps = float(np.median(pass_fps))
@@ -132,7 +205,7 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     err = out[:m] - pcm[:m]
     snr = float(10 * np.log10(np.sum(pcm[:m] ** 2) / max(np.sum(err ** 2), 1e-300)))
 
-    return {
+    res = {
         "frames_per_s": fps,
         "encode_s": enc_t,
         "decode_s": dec_t,
@@ -140,12 +213,23 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
         "snr_db": snr,
         "realtime_x": total_frames * cfg["frame_size"] / cfg["srate"] / wall,
     }
+    if link_acct:
+        res["link"] = link_acct
+    return res
 
 
 def main() -> None:
     backend = jax.default_backend()
     compute_dtype = "float32" if backend == "tpu" else None
     print(f"backend={backend} compute_dtype={compute_dtype}", file=sys.stderr)
+
+    link = None
+    if backend != "cpu":
+        link = probe_link()
+        print(f"link ceiling today: h2d {link['h2d_MBps']:.1f} MB/s, "
+              f"d2h {link['d2h_MBps']:.1f} MB/s "
+              f"({link['parts']}-way, {link['probe_MB']:.0f} MB)",
+              file=sys.stderr)
 
     baseline, ref_snr = {}, {}
     bl_path = REPO / "BASELINE_MEASURED.json"
@@ -157,7 +241,7 @@ def main() -> None:
     detail = {}
     for name, cfg in CONFIGS.items():
         try:
-            res = run_config(name, cfg, compute_dtype)
+            res = run_config(name, cfg, compute_dtype, link)
         except Exception as e:  # keep the bench alive; report the failure
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             detail[name] = {"error": str(e)}
@@ -166,6 +250,13 @@ def main() -> None:
         res["vs_baseline"] = (res["frames_per_s"] / ref) if ref else None
         if name in ref_snr:
             res["ref_snr_db"] = ref_snr[name]
+            res["vs_ref_snr_db"] = round(res["snr_db"] - ref_snr[name], 3)
+            if res["vs_ref_snr_db"] < -0.1:
+                res["snr_regression"] = True
+                print(f"  WARNING {name}: SNR {res['snr_db']:.2f} dB is "
+                      f"{-res['vs_ref_snr_db']:.2f} dB BELOW the reference "
+                      f"({ref_snr[name]:.2f}) — quantisation regression",
+                      file=sys.stderr)
         detail[name] = res
         snr_s = f"SNR {res['snr_db']:.1f} dB"
         if name in ref_snr:
@@ -176,7 +267,8 @@ def main() -> None:
               file=sys.stderr)
 
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(
-        {"backend": backend, "compute_dtype": compute_dtype, "results": detail},
+        {"backend": backend, "compute_dtype": compute_dtype,
+         "link_ceiling": link, "results": detail},
         indent=2))
 
     head = detail.get(HEADLINE, {})

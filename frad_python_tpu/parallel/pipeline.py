@@ -55,6 +55,13 @@ def _stage(name: str):
     return STAGES.stage(name)
 
 
+def _meter(direction: str, nbytes: int) -> None:
+    """Record `nbytes` of device-link traffic ('h2d' | 'd2h') so bench
+    runs can report effective bandwidth vs the probed link ceiling."""
+    if STAGES is not None:
+        STAGES.add_bytes(direction, nbytes)
+
+
 @functools.lru_cache(maxsize=1)
 def _pool() -> ThreadPoolExecutor:
     """Shared host-work pool (native EGR/RS and zlib release the GIL, and
@@ -134,6 +141,7 @@ def _put_concurrent(arr: np.ndarray, target: int = 2 << 20):
     import jax
     import jax.numpy as jnp
 
+    _meter("h2d", arr.nbytes)
     spans = _spans(arr.shape[0], arr.nbytes, target=target)
     if len(spans) < 2:
         return jax.device_put(arr)
@@ -148,6 +156,7 @@ def _fetch(arr, parts: int = 8) -> np.ndarray:
     (and hides per-transfer latency); the split is one jitted program so
     each batch shape compiles exactly once.
     """
+    _meter("d2h", arr.nbytes)
     if arr.shape[0] < parts * 2:
         return np.asarray(arr)
     chunks = _splitter(parts)(arr)
@@ -326,6 +335,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 else:
                     if compute_dtype:
                         arr = arr.astype(compute_dtype)
+                    _meter("h2d", arr.nbytes)
                     fq, tq = batch.p1_encode_core(arr, srate_v, ll, factor)
             bdi = profile1.DEPTHS.index(bits)
 
@@ -351,6 +361,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                         else (fused_d,)
                     for c in chunks:
                         c.copy_to_host_async()
+                _meter("d2h", fused_d.nbytes)
 
                 # host byte stage for chunk k overlaps chunk k+1's d2h
                 max_used_bits = 32
@@ -359,9 +370,10 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 use_native = native.has("frad_p1_pack_batch")
                 futures = []
                 row = 0
-                with _stage("enc:host-pack"):
-                    for c in chunks:
+                for c in chunks:
+                    with _stage("enc:d2h"):
                         h = np.asarray(c)
+                    with _stage("enc:pack"):
                         rows = h.shape[0]
                         meta = h[:, :mcols].view(np.int32)
                         nbits = meta[:, 0].astype(np.int64)
@@ -380,6 +392,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                             if extra is None:
                                 extra = np.asarray(
                                     _col_span_slicer(wfetch, max_words)(words_d))
+                                _meter("d2h", extra.nbytes)
                             words_h = np.concatenate(
                                 [words_h, extra[row: row + rows]], axis=1)
                         # (rare) frames whose stream overflowed max_words
@@ -416,7 +429,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                     pack_one, words_h[j], fq_fallback.get(j),
                                     nbits[j], ks[j], tqh[j], frs[row + j][1]))
                         row += rows
-                    if futures:
+                if futures:
+                    with _stage("enc:pack"):
                         results = [f.result() for f in futures]
                 # predict the next batch's fetch width: observed max plus
                 # 1/8 headroom, bucketed
@@ -478,14 +492,18 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     blk = arr[s0:s1]
                     if use_i24:
                         w = bitpack.pcm_to_i24_words_host(blk).reshape(s1 - s0, -1)
+                        _meter("h2d", w.nbytes)
                         return jax.device_put(w)
-                    return jax.device_put(blk.astype(np.float32))
+                    blk = blk.astype(np.float32)
+                    _meter("h2d", blk.nbytes)
+                    return jax.device_put(blk)
 
-                with _stage("enc:core"):
-                    ups = [_pool().submit(upload, s0, s1) for s0, s1 in spans]
-                    outs = []
-                    for f in ups:
+                ups = [_pool().submit(upload, s0, s1) for s0, s1 in spans]
+                outs = []
+                for f in ups:
+                    with _stage("enc:h2d"):
                         d = f.result()
+                    with _stage("enc:core"):
                         if use_i24:
                             wd, md = batch.p0_encode_pack_core_i24(
                                 d, base_bits, little_endian, flen, channels)
@@ -495,10 +513,13 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                         wd.copy_to_host_async()
                         md.copy_to_host_async()
                         outs.append((wd, md))
+                with _stage("enc:d2h"):
                     maxabs = np.concatenate([np.asarray(md) for _, md in outs])
+                    _meter("d2h", maxabs.nbytes)
                 limit = packing.FLOAT_MAX[packing.DEPTHS.index(base_bits)]
                 if np.all(maxabs <= limit):
-                    with _stage("enc:fetch"):
+                    with _stage("enc:d2h"):
+                        _meter("d2h", sum(wd.nbytes for wd, _ in outs))
                         fetches = [_pool().submit(np.asarray, wd)
                                    for wd, _ in outs]
                         words = np.concatenate([f.result() for f in fetches])
@@ -514,6 +535,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                         coeffs = np.asarray(batch.p0_encode_core(arr),
                                             dtype=np.float64)
                 else:
+                    _meter("h2d", arr.nbytes // (2 if compute_dtype == "float32" else 1))
                     coeffs = _fetch(batch.p0_encode_core(
                         arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
@@ -736,19 +758,22 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
             # crossfade the streaming decoder applies between frames
             # (byte-exact on the f64 path, tested)
             def up(s0: int, s1: int):
+                _meter("h2d", fq[s0:s1].nbytes + tq[s0:s1].nbytes)
                 return jax.device_put(fq[s0:s1]), jax.device_put(tq[s0:s1])
 
-            with _stage("dec:core"):
-                ups = [_pool().submit(up, s0, s1) for s0, s1 in spans]
-                outs = []
-                for f in ups:
+            ups = [_pool().submit(up, s0, s1) for s0, s1 in spans]
+            outs = []
+            for f in ups:
+                with _stage("dec:h2d"):
                     fq_d, tq_d = f.result()
+                with _stage("dec:core"):
                     od, fd = batch.p1_decode_oa_core(
                         fq_d, tq_d, h0.srate, factor, olap, cut, i16)
                     od.copy_to_host_async()
                     fd.copy_to_host_async()
                     outs.append((od, fd))
-            with _stage("dec:fetch"):
+            with _stage("dec:d2h"):
+                _meter("d2h", sum(od.nbytes + fd.nbytes for od, fd in outs))
                 parts = [(np.asarray(od), np.asarray(fd, dtype=np.float64))
                          for od, fd in outs]
             with _stage("dec:host-conv"):
@@ -764,10 +789,12 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
             return np.concatenate(chunks_out), prev_frag
 
         with _stage("dec:core"):
+            _meter("h2d", fq.nbytes + tq.nbytes)
             out_d, frag_d = batch.p1_decode_oa_core(fq, tq, h0.srate, factor,
                                                     olap, cut, i16)
-        with _stage("dec:fetch"):
+        with _stage("dec:d2h"):
             out_h = _fetch(out_d)
+            _meter("d2h", frag_d.nbytes)
             frag = np.asarray(frag_d, dtype=np.float64)
         with _stage("dec:host-conv"):
             out_h = conv(out_h)
@@ -791,13 +818,15 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
             spans = _spans(run, words.nbytes, target=2 << 20)
 
             def upload(s0: int, s1: int):
+                _meter("h2d", words[s0:s1].nbytes)
                 return jax.device_put(words[s0:s1])
 
-            with _stage("dec:core"):
-                ups = [_pool().submit(upload, s0, s1) for s0, s1 in spans]
-                outs = []
-                for f in ups:
+            ups = [_pool().submit(upload, s0, s1) for s0, s1 in spans]
+            outs = []
+            for f in ups:
+                with _stage("dec:h2d"):
                     wd = f.result()
+                with _stage("dec:core"):
                     if i24:
                         od = batch.p0_unpack_decode_i24_core(
                             wd, bits, h0.endian, n, ch)
@@ -815,7 +844,8 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     return bitpack.i24_words_to_pcm(h).reshape(-1, n, ch)
                 return h
 
-            with _stage("dec:fetch"):
+            with _stage("dec:d2h"):
+                _meter("d2h", sum(od.nbytes for od in outs))
                 frames = np.concatenate(
                     [f.result() for f in
                      [_pool().submit(fetch_conv, od) for od in outs]])
@@ -847,6 +877,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     if compute_dtype:
                         coeffs = coeffs.astype(compute_dtype)
                     with _stage("dec:core"):
+                        _meter("h2d", coeffs.nbytes)
                         frames = _fetch(batch.p0_decode_core(coeffs))
             else:
                 frames = coeffs
@@ -881,6 +912,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     tq = tq.astype(compute_dtype)
                     lq = lq.astype(compute_dtype)
         with _stage("dec:core"):
+            _meter("h2d", fq.nbytes + tq.nbytes + lq.nbytes)
             frames = _fetch(batch.p2_decode_core(fq, tq, lq, h0.srate, factor))
     else:  # pragma: no cover - caller filters profiles
         raise ValueError(f"profile {prof} is not batchable")

@@ -38,11 +38,18 @@ def annotate(name: str):
 
 
 class StageTimer:
-    """Accumulates wall-clock per named stage; pretty summary on demand."""
+    """Accumulates wall-clock per named stage; pretty summary on demand.
+
+    Also meters device-link traffic: transfer sites call
+    `add_bytes('h2d'|'d2h', n)` so a bench run can compute the effective
+    link bandwidth per direction and compare it against the probed
+    speed-of-light ceiling (this is what turns "the tunnel is slow
+    today" from a narrative into an artifact)."""
 
     def __init__(self) -> None:
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self.bytes: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -53,8 +60,23 @@ class StageTimer:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
+    def add_bytes(self, direction: str, n: int) -> None:
+        self.bytes[direction] += int(n)
+
+    def transfer_wait(self, direction: str) -> float:
+        """Total wall-clock spent BLOCKED on `direction` transfers
+        (stages named `enc:h2d`, `dec:d2h`, ...)."""
+        return sum(t for name, t in self.totals.items()
+                   if name.endswith(":" + direction))
+
     def summary(self) -> str:
         total = sum(self.totals.values()) or 1.0
         lines = [f"{name:>16}: {t:8.3f}s ({t / total * 100:5.1f}%) x{self.counts[name]}"
                  for name, t in sorted(self.totals.items(), key=lambda kv: -kv[1])]
+        for d in ("h2d", "d2h"):
+            if self.bytes.get(d):
+                w = self.transfer_wait(d)
+                mb = self.bytes[d] / (1 << 20)
+                eff = f" -> {mb / w:7.1f} MB/s blocked-effective" if w > 1e-9 else ""
+                lines.append(f"{'link ' + d:>16}: {mb:8.1f} MB{eff}")
         return "\n".join(lines)

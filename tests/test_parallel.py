@@ -97,6 +97,32 @@ class TestBatchPipeline:
             np.testing.assert_allclose(got, ref, atol=1e-12)
 
 
+class TestStageMetering:
+    def test_stage_timer_collects_stages_and_link_bytes(self):
+        """With a StageTimer wired in, a round trip books named stages
+        AND device-link byte counts in both directions (the bench's link
+        speed-of-light accounting feeds off these)."""
+        from frad_python_tpu.parallel import pipeline
+        from frad_python_tpu.utils.tracing import StageTimer
+
+        pcm = rng.standard_normal((9999, 2)) * 0.4
+        pipeline.STAGES = t = StageTimer()
+        try:
+            stream = batch_encode(pcm, 1, 48000, 16, 2048)
+            out, _ = batch_decode(stream)
+        finally:
+            pipeline.STAGES = None
+        assert out.shape[0] > 0
+        assert t.bytes["h2d"] > 0 and t.bytes["d2h"] > 0
+        assert any(k.startswith("enc:") for k in t.totals)
+        assert any(k.startswith("dec:") for k in t.totals)
+        # the summary renders the link lines without error
+        assert "link h2d" in t.summary() and "link d2h" in t.summary()
+        # transfer_wait sums exactly the :h2d / :d2h stage families
+        assert t.transfer_wait("d2h") == sum(
+            v for k, v in t.totals.items() if k.endswith(":d2h"))
+
+
 class TestEgrFetchPredictor:
     def test_underestimated_width_refetches_and_stays_byte_exact(self):
         """Force the EGR word-fetch predictor to undershoot: the column

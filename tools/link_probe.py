@@ -55,8 +55,10 @@ def d2h(parts: int) -> float:
 
 
 for parts in (1, 2, 4, 8, 16, 32):
-    # warm the split program
+    # warm the split program AND one untimed h2d (first-transfer setup
+    # cost would otherwise bias the small-parts h2d minima)
     d2h(parts)
+    h2d(parts)
     h = min(h2d(parts) for _ in range(3))
     d = min(d2h(parts) for _ in range(3))
     print(f"parts={parts:3d}  h2d {SIZE/MB/h:7.1f} MB/s   d2h {SIZE/MB/d:7.1f} MB/s",

@@ -29,8 +29,7 @@ if not native.available():
 from frad_python_tpu.parallel import batch_decode, batch_encode, pipeline  # noqa: E402
 from frad_python_tpu.utils.tracing import StageTimer  # noqa: E402
 
-sys.path.insert(0, str(REPO))
-import bench  # noqa: E402
+import bench  # noqa: E402  (REPO is already on sys.path)
 
 name = sys.argv[1] if len(sys.argv) > 1 else "p1_stereo_44k1"
 passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -62,6 +61,8 @@ for i in range(passes):
     t1 = time.perf_counter()
     out, _ = batch_decode(stream, **dec_kw)
     t2 = time.perf_counter()
+    # f/s covers enc+dec combined; recount frames from THIS pass's stream
+    nframes = stream.count(b"\xff\xd0\xd2\x98")
     print(f"  pass {i}: enc {t1-t0:.2f}s dec {t2-t1:.2f}s "
-          f"({nframes/(t2-t0):.0f} f/s)", file=sys.stderr)
+          f"({nframes/(t2-t0):.0f} f/s enc+dec)", file=sys.stderr)
 print(pipeline.STAGES.summary(), file=sys.stderr)
