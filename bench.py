@@ -111,6 +111,18 @@ CONFIGS = {
     "hires_96k_8ch": dict(profile=0, srate=96000, channels=8, bits=24, frame_size=8192),
     "p1_stereo_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
                               frame_size=2048, ecc=True),
+    # archival deep depth: policy.deep_device routes the f64 transform to
+    # the host CPU on TPU rigs (TPU lacks f64) — measured, not hidden
+    "p0_stereo_64b": dict(profile=0, srate=44100, channels=2, bits=64,
+                          frame_size=2048),
+}
+
+#: repair-pass configs (BASELINE config 5): batch_repair over a stream
+#: damaged by frad_python_tpu.utils.damage (same bytes the reference
+#: Repairer is timed on in tools/measure_reference.py)
+REPAIR_CONFIGS = {
+    "repair_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
+                           frame_size=2048, ecc=True),
 }
 
 
@@ -218,6 +230,53 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     return res
 
 
+def run_repair_config(name: str, cfg: dict, compute_dtype: str | None,
+                      seconds: float = 30.0, min_wall: float = 3.0) -> dict:
+    """Time batch_repair re-armoring a damaged ECC stream (the Repairer
+    engine's fast path; reference repairer.py:28-71)."""
+    from frad_python_tpu.parallel import batch_repair
+    from frad_python_tpu.utils.damage import damage_stream
+
+    pcm = make_audio(seconds, cfg["srate"], cfg["channels"])
+    stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                          cfg["frame_size"], loss_level=0.5, enable_ecc=True,
+                          compute_dtype=compute_dtype)
+    damaged = damage_stream(stream)
+    nframes = stream.count(b"\xff\xd0\xd2\x98")
+
+    repaired = batch_repair(damaged, (96, 24))        # warm-up
+    total_frames, wall = 0, 0.0
+    pass_fps = []
+    while wall < min_wall or len(pass_fps) < 5:
+        t0 = time.perf_counter()
+        repaired = batch_repair(damaged, (96, 24))
+        dt = time.perf_counter() - t0
+        wall += dt
+        total_frames += nframes
+        pass_fps.append(nframes / dt)
+        print(f"  {name} pass: repair {dt:.2f}s ({pass_fps[-1]:.0f} f/s)",
+              file=sys.stderr)
+
+    # correctness: the repaired stream must decode identically to the
+    # undamaged original
+    out_r, _ = batch_decode(repaired, fix_error=True,
+                            compute_dtype=compute_dtype)
+    out_o, _ = batch_decode(stream, fix_error=True,
+                            compute_dtype=compute_dtype)
+    repaired_ok = bool(np.array_equal(out_r, out_o))
+    if not repaired_ok:
+        print(f"  WARNING {name}: repaired stream decodes differently",
+              file=sys.stderr)
+    return {
+        "frames_per_s": float(np.median(pass_fps)),
+        "repair_s": wall,
+        "frames": total_frames,
+        "realtime_x": total_frames * cfg["frame_size"] / cfg["srate"] / wall,
+        "repaired_decode_equal": repaired_ok,
+        "damaged_bytes": sum(a != b for a, b in zip(stream, damaged)),
+    }
+
+
 def main() -> None:
     backend = jax.default_backend()
     compute_dtype = "float32" if backend == "tpu" else None
@@ -263,6 +322,21 @@ def main() -> None:
             snr_s += f" (ref {ref_snr[name]:.1f})"
         print(f"{name}: {res['frames_per_s']:.0f} frames/s "
               f"({res['realtime_x']:.0f}x realtime, {snr_s}"
+              + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
+              file=sys.stderr)
+
+    for name, cfg in REPAIR_CONFIGS.items():
+        try:
+            res = run_repair_config(name, cfg, compute_dtype)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            detail[name] = {"error": str(e)}
+            continue
+        ref = baseline.get(name)
+        res["vs_baseline"] = (res["frames_per_s"] / ref) if ref else None
+        detail[name] = res
+        print(f"{name}: {res['frames_per_s']:.0f} frames/s repaired "
+              f"({res['realtime_x']:.0f}x realtime"
               + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
               file=sys.stderr)
 

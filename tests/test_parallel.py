@@ -195,6 +195,23 @@ class TestBatchRepair:
         want = self._stream_repair(s, (96, 24))
         assert got == want
 
+    def test_bench_damage_model_repairs_clean(self):
+        """The bench's deterministic damage (utils/damage.py) stays within
+        RS correction capacity: repaired stream decodes identically to the
+        undamaged one and matches the streaming Repairer byte-for-byte."""
+        from frad_python_tpu.parallel import batch_repair
+        from frad_python_tpu.utils.damage import damage_stream
+        pcm = rng.standard_normal((16000, 2)) * 0.4
+        stream = batch_encode(pcm, 1, 48000, 16, 2048, enable_ecc=True,
+                              loss_level=0.5)
+        damaged = damage_stream(stream)
+        assert damaged != stream and len(damaged) == len(stream)
+        got = batch_repair(damaged, (96, 24))
+        assert got == self._stream_repair(damaged, (96, 24))
+        out_r = stream_decode(got, fix=True)
+        out_o = stream_decode(stream, fix=True)
+        np.testing.assert_array_equal(out_r, out_o)
+
     def test_python_fallback_matches_native(self, monkeypatch):
         from frad_python_tpu import native
         from frad_python_tpu.parallel import batch_repair

@@ -113,6 +113,53 @@ def measure(config: dict, seconds_audio: float, min_wall: float = 3.0) -> dict:
     }
 
 
+def measure_repair(config: dict, seconds_audio: float,
+                   min_wall: float = 3.0) -> dict:
+    """Time the reference Repairer re-armoring a damaged ECC stream
+    (BASELINE config 5's repair pass, reference repairer.py:28-71).
+
+    The stream is encoded by the reference encoder and damaged with the
+    exact helper bench.py uses (frad_python_tpu.utils.damage), so both
+    implementations repair identical bytes.
+    """
+    sys.path.insert(0, str(REF))
+    from libfrad import Encoder, Repairer  # noqa: PLC0415
+
+    from frad_python_tpu.utils.damage import damage_stream  # noqa: PLC0415
+
+    srate, ch, fsize = config["srate"], config["channels"], config["frame_size"]
+    n = int(seconds_audio * srate)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / srate
+    sig = sum(0.3 / (i + 1) * np.sin(2 * np.pi * (220 * (i + 1)) * t[:, None] + i)
+              for i in range(4)) * np.ones((1, ch))
+    sig = sig + 0.01 * rng.standard_normal((n, ch))
+
+    enc = Encoder(config["profile"], srate, ch, config["bits"], fsize, "f64be")
+    enc.set_ecc(True, (96, 24))
+    enc.set_overlap_ratio(config.get("overlap_ratio", 16))
+    enc.set_loss_level(config.get("loss_level", 0.5))
+    stream = enc.process(sig.astype(">f8").tobytes()).buf + enc.flush().buf
+    damaged = damage_stream(stream)
+    nframes = stream.count(b"\xff\xd0\xd2\x98")
+
+    total_frames = 0
+    wall = 0.0
+    while wall < min_wall:
+        rep = Repairer((96, 24))
+        t0 = time.perf_counter()
+        out = rep.process(damaged) + rep.flush()
+        wall += time.perf_counter() - t0
+        total_frames += nframes
+        assert len(out) >= len(damaged)
+    return {
+        "frames": total_frames,
+        "repair_s": wall,
+        "frames_per_s": total_frames / wall,
+        "audio_seconds_per_s": total_frames * fsize / srate / wall,
+    }
+
+
 CONFIGS = {
     "p4_mono_44k1": dict(profile=4, srate=44100, channels=1, bits=16, frame_size=2048),
     "p0_stereo_44k1": dict(profile=0, srate=44100, channels=2, bits=24, frame_size=2048),
@@ -124,6 +171,17 @@ CONFIGS = {
     "p1_stereo_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
                               frame_size=2048, overlap_ratio=16, loss_level=0.5,
                               ecc=True),
+    # archival deep depth: the reference runs this through the same f64
+    # path as 24-bit (profile0.py:21); ours routes it to CPU f64 by policy
+    "p0_stereo_64b": dict(profile=0, srate=44100, channels=2, bits=64,
+                          frame_size=2048),
+}
+
+#: repair-pass configs (BASELINE config 5): measured with measure_repair
+REPAIR_CONFIGS = {
+    "repair_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
+                           frame_size=2048, overlap_ratio=16, loss_level=0.5,
+                           ecc=True),
 }
 
 
@@ -135,13 +193,29 @@ def main() -> None:
         results[name] = {"config": cfg, **res}
         print(f"{name}: {res['frames_per_s']:.1f} frames/s "
               f"({res['audio_seconds_per_s']:.2f}x realtime)", file=sys.stderr)
+    for name, cfg in REPAIR_CONFIGS.items():
+        res = measure_repair(cfg, seconds_audio=4.0)
+        results[name] = {"config": cfg, **res}
+        print(f"{name}: {res['frames_per_s']:.1f} frames/s repair "
+              f"({res['audio_seconds_per_s']:.2f}x realtime)", file=sys.stderr)
 
+    # merge with any prior measurement, keeping the FASTER frames_per_s
+    # per config — generous to the reference baseline
+    path = REPO / "BASELINE_MEASURED.json"
+    if path.exists():
+        prior = json.loads(path.read_text())["results"]
+        for name, old in prior.items():
+            new = results.get(name)
+            if new is None or old.get("frames_per_s", 0) > new["frames_per_s"]:
+                results[name] = {**old, **({"snr_db": new["snr_db"]}
+                                           if new and "snr_db" in new else {})}
     out = {
         "machine": "bench host CPU (reference is single-threaded pure Python)",
-        "note": "reedsolo shimmed with frad_python_tpu native RS (favours the reference)",
+        "note": "reedsolo shimmed with frad_python_tpu native RS (favours the "
+                "reference); per-config frames_per_s is the fastest measured run",
         "results": results,
     }
-    (REPO / "BASELINE_MEASURED.json").write_text(json.dumps(out, indent=2))
+    path.write_text(json.dumps(out, indent=2))
     print(json.dumps({k: round(v["frames_per_s"], 2) for k, v in results.items()}))
 
 
