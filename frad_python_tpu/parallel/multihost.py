@@ -17,12 +17,14 @@ Usage on each host of a pod slice:
     multihost.gather_bitstream(stream_part)  # -> full stream on host 0
 
 Collectives ride ICI within a host's chips and DCN across hosts; the
-byte-domain gather uses jax's process-level allgather (tiny next to the
-PCM itself).
+byte-domain gather moves ragged per-host streams point-to-point through
+the distributed-runtime KV service (O(total bytes), full stream only on
+process 0), with a chunk-bounded allgather fallback.
 """
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass
 
 import jax
@@ -87,33 +89,107 @@ def host_span(total_samples: int, frame_size: int, overlap_ratio: int,
     return HostSpan(start=start, stop=stop, first_frame=lo_frame)
 
 
+#: generation counter — gather_bitstream is collective, so every process
+#: advances it in lockstep and per-call KV keys never collide
+_GATHER_GEN = 0
+#: stay under the coordination service's gRPC message ceiling (4 MiB)
+_KV_CHUNK = 2 << 20
+_KV_TIMEOUT_MS = 600_000
+
+
 def gather_bitstream(local_stream: bytes,
-                     order_key: int | None = None) -> bytes | None:
+                     order_key: int | None = None,
+                     chunk_bytes: int = _KV_CHUNK) -> bytes | None:
     """Order-preserving concatenation of per-host byte streams on host 0.
 
-    Uses the process-level allgather (DCN); returns the full stream on
-    process 0 and None elsewhere. Single-process: identity.
+    RAGGED: only (length, order) metadata is exchanged collectively; the
+    bytes themselves move point-to-point through the distributed-runtime
+    KV service in gRPC-sized chunks, so traffic and memory are O(total
+    bytes) — the full stream materialises only on process 0 — instead of
+    the O(n_hosts x max_len) a padded allgather costs on EVERY process
+    (ruinous for hour-long streams with uneven spans). Falls back to a
+    chunk-bounded allgather when the KV client is unavailable.
+
+    Returns the full stream on process 0 and None elsewhere.
+    Single-process: identity.
 
     Segments are ordered by `order_key` (pass HostSpan.first_frame) so
     the assembly is correct even under a non-monotonic span→process
     assignment; with the default None the process index is the key
     (host_span assigns spans monotonically by pid, so both agree).
     """
+    global _GATHER_GEN
     if jax.process_count() == 1:
         return local_stream
+    _GATHER_GEN += 1
+    gen = _GATHER_GEN
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    key = pid if order_key is None else int(order_key)
+
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:                      # pragma: no cover - exotic init
+        return _gather_allgather_chunked(local_stream, key, chunk_bytes)
+
+    pref = f"frad/gather/{gen}"
+    if pid != 0:
+        for ci, off in enumerate(range(0, len(local_stream), chunk_bytes)):
+            client.key_value_set_bytes(
+                f"{pref}/data/{pid}/{ci}",
+                local_stream[off: off + chunk_bytes])
+        client.key_value_set_bytes(
+            f"{pref}/meta/{pid}",
+            struct.pack(">qq", len(local_stream), key))
+        # hold the call open until process 0 has drained every key, so
+        # the collective contract (and key deletion) stays race-free
+        client.wait_at_barrier(f"frad_gather_{gen}", _KV_TIMEOUT_MS)
+        return None
+
+    parts = [(key, local_stream)]
+    for p in range(1, nproc):
+        ln, k = struct.unpack(">qq", client.blocking_key_value_get_bytes(
+            f"{pref}/meta/{p}", _KV_TIMEOUT_MS))
+        chunks = [client.blocking_key_value_get_bytes(
+            f"{pref}/data/{p}/{ci}", _KV_TIMEOUT_MS)
+            for ci in range(-(-ln // chunk_bytes))]
+        parts.append((k, b"".join(chunks)))
+    client.wait_at_barrier(f"frad_gather_{gen}", _KV_TIMEOUT_MS)
+    client.key_value_delete(pref)
+    parts.sort(key=lambda t: t[0])
+    return b"".join(p for _, p in parts)
+
+
+def _gather_allgather_chunked(local_stream: bytes, key: int,
+                              chunk_bytes: int) -> bytes | None:
+    """Fallback byte gather: chunk-bounded allgather rounds.
+
+    Peak memory is O(n_hosts x chunk) per round instead of
+    O(n_hosts x max_len); assembly still only on process 0.
+    """
     from jax.experimental import multihost_utils
 
-    # length-prefix + pad to the max length so allgather shapes agree
     arr = np.frombuffer(local_stream, dtype=np.uint8)
-    key = jax.process_index() if order_key is None else int(order_key)
     meta = np.array([len(arr), key], dtype=np.int64)
     all_meta = multihost_utils.process_allgather(meta)
     maxn = int(all_meta[:, 0].max())
-    padded = np.zeros(maxn, dtype=np.uint8)
-    padded[: len(arr)] = arr
-    gathered = multihost_utils.process_allgather(padded)
-    if jax.process_index() != 0:
+    pid = jax.process_index()
+    parts: list[list[bytes]] = [[] for _ in range(len(all_meta))]
+    for off in range(0, max(maxn, 1), chunk_bytes):
+        w = min(chunk_bytes, maxn - off) if maxn else 0
+        if w <= 0:
+            break
+        buf = np.zeros(w, dtype=np.uint8)
+        take = min(max(len(arr) - off, 0), w)
+        if take:
+            buf[:take] = arr[off: off + take]
+        g = multihost_utils.process_allgather(buf)
+        if pid == 0:
+            for p in range(len(all_meta)):
+                rem = int(all_meta[p, 0]) - off
+                if rem > 0:
+                    parts[p].append(g[p, : min(rem, w)].tobytes())
+    if pid != 0:
         return None
     order = np.argsort(all_meta[:, 1], kind="stable")
-    return b"".join(gathered[int(i), : int(all_meta[int(i), 0])].tobytes()
-                    for i in order)
+    return b"".join(b"".join(parts[int(i)]) for i in order)

@@ -462,6 +462,71 @@ if pid == 0:
         ref = batch_encode(pcm, 1, 48000, 16, 2048, overlap_ratio=16)
         assert out.read_bytes() == ref
 
+    def test_gather_bitstream_uneven_spans_two_processes(self, tmp_path):
+        """Ragged gather with STRONGLY uneven spans (64 B vs 5 MiB —
+        several KV chunks) and reversed order keys: the big stream must
+        cross the chunking path intact and land FIRST in the assembly.
+        Two consecutive gathers prove the generation keying."""
+        import subprocess
+        import sys
+
+        script = tmp_path / "worker.py"
+        out = tmp_path / "gathered.bin"
+        script.write_text(f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+import jax
+jax.config.update('jax_platforms', 'cpu')
+pid = int(sys.argv[1])
+jax.distributed.initialize('localhost:{{port}}'.format(port=sys.argv[2]),
+                           num_processes=2, process_id=pid)
+import numpy as np
+from frad_python_tpu.parallel import multihost
+small = bytes(range(64))
+big = np.random.default_rng(5).integers(0, 256, (5 << 20) + 13,
+                                        dtype=np.uint8).tobytes()
+mine, key = (small, 7) if pid == 0 else (big, 3)   # big sorts FIRST
+full = multihost.gather_bitstream(mine, order_key=key)
+again = multihost.gather_bitstream(mine, order_key=key)
+if pid == 0:
+    assert full == again
+    open({str(out)!r}, 'wb').write(full)
+""")
+        import socket
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = [subprocess.Popen([sys.executable, str(script), str(i), str(port)],
+                                  env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE)
+                 for i in range(2)]
+        try:
+            for p in procs:
+                _, err = p.communicate(timeout=240)
+                if p.returncode != 0:
+                    pytest.skip(f"jax.distributed CPU cluster unavailable: "
+                                f"{err.decode()[-400:]}")
+        finally:
+            for p in procs:
+                p.kill()
+
+        big = np.random.default_rng(5).integers(0, 256, (5 << 20) + 13,
+                                                dtype=np.uint8).tobytes()
+        assert out.read_bytes() == big + bytes(range(64))
+
+    def test_gather_fallback_chunk_slicing(self):
+        """_gather_allgather_chunked reassembles ragged lengths across
+        chunk boundaries (single-process identity allgather)."""
+        from frad_python_tpu.parallel import multihost
+        data = bytes(np.random.default_rng(3).integers(
+            0, 256, 10_000, dtype=np.uint8))
+        got = multihost._gather_allgather_chunked(data, key=0,
+                                                  chunk_bytes=999)
+        assert got == data
+        assert multihost._gather_allgather_chunked(b"", 0, 999) == b""
+
 
 class TestProfile2Batch:
     def test_p2_batch_encode_byte_exact_vs_streaming(self):
