@@ -70,18 +70,20 @@ def _pool() -> ThreadPoolExecutor:
 
 
 @functools.lru_cache(maxsize=32)
-def _egr_fused_packer(max_words: int, wfetch: int):
-    """One jitted program: EGR-pack the symbol frames AND fuse the
-    per-frame meta (nbits, k, overflow, thresholds) with the first
-    `wfetch` word columns into a single uint32 matrix.
+def _egr_compact_packer(max_words: int, cap: int):
+    """One jitted program: EGR-pack the symbol frames AND compact every
+    frame's used words into one flat buffer.
 
-    The fetch of that one matrix is the only d2h the EGR stage needs in
-    steady state — the old path blocked on a separate small meta
-    transfer (~30 ms tunnel latency) before it could even SIZE the word
-    fetch. `wfetch` comes from the previous batch's observed usage
-    (bucketed); underestimates are healed by a rare column-span refetch.
-    Returns (fused [B, meta+wfetch] u32, words [B, max_words] u32 —
-    left on device for the refetch path).
+    Padding each row to the batch's max width made the EGR fetch carry
+    ~2.5x the stream's real bytes over the slow d2h leg (the max frame
+    sets the width, the mean frame is far narrower). Scattering row i's
+    ceil(nbits/32) words to its cumsum offset ships exactly the stream
+    bytes plus bucketed slack. No offset table crosses the link — the
+    host re-derives the same cumsum from the meta. `cap` comes from the
+    previous batch's observed total (bucketed); undershoots are healed
+    by one padded-matrix refetch. Returns (meta [B, 3+tqcols] u32,
+    flat [cap] u32, words [B, max_words] u32 — kept on device for the
+    refetch path).
     """
     import jax
     import jax.numpy as jnp
@@ -93,24 +95,20 @@ def _egr_fused_packer(max_words: int, wfetch: int):
             [nbits[:, None].astype(jnp.int32), ks[:, None].astype(jnp.int32),
              ovf[:, None].astype(jnp.int32),
              tq.reshape(b, -1).astype(jnp.int32)], axis=1)
-        fused = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(meta, jnp.uint32),
-             words[:, :wfetch]], axis=1)
-        return fused, words
+        used = jnp.where(ovf, 0, (nbits + 31) // 32).astype(jnp.int32)
+        offs = jnp.cumsum(used) - used
+        j = jnp.arange(max_words, dtype=jnp.int32)
+        idx = jnp.where(j[None, :] < used[:, None],
+                        offs[:, None] + j[None, :], cap)
+        flat = jnp.zeros(cap, words.dtype).at[idx.ravel()].set(
+            words.ravel(), mode="drop")
+        return jax.lax.bitcast_convert_type(meta, jnp.uint32), flat, words
 
     return jax.jit(pack)
 
 
-@functools.lru_cache(maxsize=32)
-def _col_span_slicer(lo: int, hi: int):
-    """Jitted [:, lo:hi] column span (the EGR underestimate refetch)."""
-    import jax
-
-    return jax.jit(lambda a: a[:, lo:hi])
-
-
-#: (symbols, tq_cols, max_words) -> word columns to fetch next time —
-#: the EGR stage's width predictor (see _egr_fused_packer)
+#: (symbols, tq_cols, max_words) -> flat word capacity to allocate next
+#: time — the EGR stage's capacity predictor (see _egr_compact_packer)
 _WFETCH: dict[tuple[int, int, int], int] = {}
 
 _WBUCKET = 64   # 256-byte granularity bounds the compiled shape count
@@ -341,101 +339,114 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
 
             # On-device EGR bit-pack (bits <= 24 keeps symbols < 2^23, the
             # exact-f32 range): ships ~4-12 bits/symbol over the d2h link
-            # instead of 32, which is the pipeline's bottleneck. Meta
-            # (nbits/k/overflow/thresholds) rides IN the same fetch as the
-            # word columns — the stage no longer blocks on a separate
-            # latency-bound meta round trip to size the word transfer; the
-            # fetch width comes from the previous batch's usage.
+            # instead of 32, which is the pipeline's bottleneck. The used
+            # words are COMPACTED on device into one flat buffer, so the
+            # fetch carries the stream's real bytes, not rows padded to
+            # the batch-max width; meta (nbits/k/overflow/thresholds)
+            # rides in a concurrent transfer — no latency-bound sizing
+            # round trip.
             if bits <= 24 and len(frs) > 1:
                 b = len(frs)
                 m = fq.shape[1] * fq.shape[2]
                 max_words = max(m * 12 // 32, 16)
                 mcols = 3 + tq.shape[1] * tq.shape[2]
                 pkey = (m, mcols, max_words)
-                wfetch = _WFETCH.get(pkey, max_words)
+                # capacity predictor: total words the batch's streams need
+                # (8 bits/symbol first guess; relearned from each batch)
+                cap = _WFETCH.get(pkey,
+                                  _bucket_words(b * m // 4, b * max_words))
+                nsl = 8 if b >= 16 else 1
                 with _stage("enc:egr-pack"):
-                    fused_d, words_d = _egr_fused_packer(max_words, wfetch)(
-                        fq.reshape(b, m), tq)
-                    parts = 8 if b >= 16 else 1
-                    chunks = _splitter(parts)(fused_d) if parts > 1 \
-                        else (fused_d,)
-                    for c in chunks:
+                    meta_d, flat_d, words_d = _egr_compact_packer(
+                        max_words, cap)(fq.reshape(b, m), tq)
+                    meta_d.copy_to_host_async()
+                    slices = _splitter(nsl)(flat_d) if nsl > 1 else (flat_d,)
+                    for c in slices:
                         c.copy_to_host_async()
-                _meter("d2h", fused_d.nbytes)
+                _meter("d2h", meta_d.nbytes + flat_d.nbytes)
 
-                # host byte stage for chunk k overlaps chunk k+1's d2h
-                max_used_bits = 32
-                extra: np.ndarray | None = None   # underestimate refetch
-                results: list[tuple[bytes, int, int]] = []
+                with _stage("enc:d2h"):
+                    meta = np.asarray(meta_d).view(np.int32)
+                nbits = meta[:, 0].astype(np.int64)
+                ks = meta[:, 1].astype(np.int64)
+                ovf = meta[:, 2].astype(bool)
+                tqh = meta[:, 3:].astype(np.int64)
+                used = np.where(ovf, 0, (nbits + 31) // 32)
+                ends = np.cumsum(used)
+                total = int(ends[-1]) if b else 0
+                # (rare) frames whose stream overflowed max_words
+                fq_fallback = {int(i): np.asarray(fq[int(i)])
+                               for i in np.flatnonzero(ovf)}
                 use_native = native.has("frad_p1_pack_batch")
-                futures = []
-                row = 0
-                for c in chunks:
-                    with _stage("enc:d2h"):
-                        h = np.asarray(c)
-                    with _stage("enc:pack"):
-                        rows = h.shape[0]
-                        meta = h[:, :mcols].view(np.int32)
-                        nbits = meta[:, 0].astype(np.int64)
-                        ks = meta[:, 1].astype(np.int64)
-                        ovf = meta[:, 2].astype(bool)
-                        tqh = meta[:, 3:].astype(np.int64)
-                        words_h = h[:, mcols:]
-                        good = ~ovf
-                        if good.any():
-                            max_used_bits = max(max_used_bits,
-                                                int(nbits[good].max()))
-                        if (good & (nbits > wfetch * 32)).any():
-                            # predictor undershot: pull the remaining word
-                            # columns for the whole batch once (rare — the
-                            # next batch's wfetch absorbs the new max)
-                            if extra is None:
-                                extra = np.asarray(
-                                    _col_span_slicer(wfetch, max_words)(words_d))
-                                _meter("d2h", extra.nbytes)
-                            words_h = np.concatenate(
-                                [words_h, extra[row: row + rows]], axis=1)
-                        # (rare) frames whose stream overflowed max_words
-                        fq_fallback = {int(i): np.asarray(fq[row + int(i)])
-                                       for i in np.flatnonzero(ovf)}
-                        if use_native:
-                            # one C++ pass per chunk: EGR thresholds +
-                            # word serialisation + raw deflate, threaded
-                            pls = native.p1_pack_batch(
-                                np.ascontiguousarray(words_h),
-                                nbits, ks, ovf, tqh)
-                            for j, pl in enumerate(pls):
-                                if pl is None:  # overflow -> host fallback
-                                    pl = profile1.pack_streams(
-                                        fq_fallback[j].ravel(),
-                                        tqh[j].ravel())
-                                results.append((pl, bdi, frs[row + j][1]))
-                        else:
-                            def pack_one(wrow, fq_fb, nb, k, trow, flen):
-                                if fq_fb is not None:
-                                    freqs_gol = golomb.encode(
-                                        fq_fb.ravel().astype(np.int64))
-                                else:
-                                    freqs_gol = bitpack.words_to_stream(
-                                        wrow, nb, k)
-                                thres_gol = golomb.encode(trow)
-                                frad = (struct.pack(">I", len(thres_gol))
-                                        + thres_gol + freqs_gol)
-                                return (zlib.compress(frad, wbits=-15),
-                                        bdi, flen)
+                results: list[tuple[bytes, int, int]] = []
+                futures: list = []
 
-                            for j in range(rows):
-                                futures.append(_pool().submit(
-                                    pack_one, words_h[j], fq_fallback.get(j),
-                                    nbits[j], ks[j], tqh[j], frs[row + j][1]))
-                        row += rows
+                def pack_one(wrow, fq_fb, nb, k, trow, flen):
+                    if fq_fb is not None:
+                        freqs_gol = golomb.encode(
+                            fq_fb.ravel().astype(np.int64))
+                    else:
+                        freqs_gol = bitpack.words_to_stream(wrow, nb, k)
+                    thres_gol = golomb.encode(trow)
+                    frad = (struct.pack(">I", len(thres_gol))
+                            + thres_gol + freqs_gol)
+                    return (zlib.compress(frad, wbits=-15), bdi, flen)
+
+                def emit(lo: int, hi: int, words_mat: np.ndarray) -> None:
+                    if use_native:
+                        # one C++ pass per segment: EGR thresholds +
+                        # word serialisation + raw deflate, threaded
+                        pls = native.p1_pack_batch(
+                            np.ascontiguousarray(words_mat),
+                            nbits[lo:hi], ks[lo:hi], ovf[lo:hi], tqh[lo:hi])
+                        for j, pl in enumerate(pls):
+                            if pl is None:  # overflow -> host fallback
+                                pl = profile1.pack_streams(
+                                    fq_fallback[lo + j].ravel(),
+                                    tqh[lo + j].ravel())
+                            results.append((pl, bdi, frs[lo + j][1]))
+                    else:
+                        for j in range(hi - lo):
+                            futures.append(_pool().submit(
+                                pack_one, words_mat[j],
+                                fq_fallback.get(lo + j), nbits[lo + j],
+                                ks[lo + j], tqh[lo + j], frs[lo + j][1]))
+
+                if total > cap:
+                    # capacity undershoot (healed below by the relearn):
+                    # one padded-matrix fetch serves the whole batch
+                    with _stage("enc:d2h"):
+                        _meter("d2h", words_d.nbytes)
+                        emit(0, b, np.asarray(words_d))
+                else:
+                    # rows become packable as their flat span arrives;
+                    # host byte work for segment k overlaps slice k+1's
+                    # d2h (zeros past the arrived prefix are never read:
+                    # the packer stops at each row's nbits)
+                    flat_buf = np.zeros(cap + max_words + 1, dtype=np.uint32)
+                    offs = ends - used
+                    pos = 0
+                    row = 0
+                    for k, c in enumerate(slices):
+                        with _stage("enc:d2h"):
+                            a = np.asarray(c)
+                        flat_buf[pos: pos + a.shape[0]] = a
+                        pos += a.shape[0]
+                        hi = b if k == nsl - 1 else int(
+                            np.searchsorted(ends, pos, side="right"))
+                        if hi > row:
+                            with _stage("enc:pack"):
+                                w_seg = max(int(used[row:hi].max()), 1)
+                                idx = (offs[row:hi, None]
+                                       + np.arange(w_seg)[None, :])
+                                emit(row, hi, flat_buf[idx])
+                            row = hi
                 if futures:
                     with _stage("enc:pack"):
                         results = [f.result() for f in futures]
-                # predict the next batch's fetch width: observed max plus
+                # predict the next batch's capacity: observed total plus
                 # 1/8 headroom, bucketed
-                _WFETCH[pkey] = _bucket_words(
-                    (-(-max_used_bits // 32)) * 9 // 8, max_words)
+                _WFETCH[pkey] = _bucket_words(total * 9 // 8, b * max_words)
                 return results
 
             fq = np.asarray(fq)
