@@ -68,6 +68,11 @@ _OPTIONAL_SYMBOLS = [
      [_C.c_void_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
     ("frad_unpack_floats", None,
      [_C.c_char_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
+    ("frad_frame_parse_batch", _C.c_int64,
+     [_C.c_char_p, _C.c_int64, _C.c_int64,
+      _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p,
+      _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p,
+      _C.c_void_p, _C.c_void_p, _C.POINTER(_C.c_int64)]),
 ]
 
 _missing: set[str] = set()
@@ -372,3 +377,48 @@ def rs_decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.n
         cw.ctypes.data_as(ctypes.c_char_p), nblocks, blen, nsym,
         ok.ctypes.data_as(ctypes.c_char_p))
     return cw[:, : blen - nsym], ok.astype(bool)
+
+
+def frame_parse_batch(stream: bytes):
+    """Batched ASFH frame scan (container/asfh.py parse semantics).
+
+    Returns (count, pay_off, pay_len, is_ff, pfb, chans, srates, fsizes,
+    olaps, eccds, ecccs, crcs, hdrlens, tail_pos) where tail_pos is the
+    byte offset of the unparsed tail or -1 when there is none. Raises
+    IndexError on a CSS srate index outside the table, matching the
+    Python parser's behaviour on the same bytes.
+    """
+    n = len(stream)
+    cap = max(min(stream.count(b"\xff\xd0\xd2\x98"), n // 12 + 1), 1)
+    pay_off = np.empty(cap, dtype=np.int64)
+    pay_len = np.empty(cap, dtype=np.int64)
+    is_ff = np.empty(cap, dtype=np.uint8)
+    pfb = np.empty(cap, dtype=np.uint8)
+    chans = np.empty(cap, dtype=np.uint16)
+    srates = np.empty(cap, dtype=np.uint32)
+    fsizes = np.empty(cap, dtype=np.uint32)
+    olaps = np.empty(cap, dtype=np.uint8)
+    eccds = np.empty(cap, dtype=np.uint8)
+    ecccs = np.empty(cap, dtype=np.uint8)
+    crcs = np.empty(cap, dtype=np.uint32)
+    hdrlens = np.empty(cap, dtype=np.int32)
+    tail_pos = ctypes.c_int64(-1)
+    cnt = LIB.frad_frame_parse_batch(
+        stream, n, cap,
+        pay_off.ctypes.data_as(ctypes.c_void_p),
+        pay_len.ctypes.data_as(ctypes.c_void_p),
+        is_ff.ctypes.data_as(ctypes.c_void_p),
+        pfb.ctypes.data_as(ctypes.c_void_p),
+        chans.ctypes.data_as(ctypes.c_void_p),
+        srates.ctypes.data_as(ctypes.c_void_p),
+        fsizes.ctypes.data_as(ctypes.c_void_p),
+        olaps.ctypes.data_as(ctypes.c_void_p),
+        eccds.ctypes.data_as(ctypes.c_void_p),
+        ecccs.ctypes.data_as(ctypes.c_void_p),
+        crcs.ctypes.data_as(ctypes.c_void_p),
+        hdrlens.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(tail_pos))
+    if tail_pos.value == -2:
+        raise IndexError("tuple index out of range")  # CSS srate index
+    return (int(cnt), pay_off, pay_len, is_ff, pfb, chans, srates, fsizes,
+            olaps, eccds, ecccs, crcs, hdrlens, int(tail_pos.value))

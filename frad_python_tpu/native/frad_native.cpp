@@ -1165,4 +1165,102 @@ void frad_unpack_floats(const uint8_t* in, size_t n, int bits, int little,
     run_striped(n, nthreads, unpack_floats_span, &ctx);
 }
 
+// ---------------------------------------------------------------------------
+// Batched ASFH frame scan — the decoder's structural hot loop.
+// Replicates container/asfh.py read() + pipeline._parse_frames exactly
+// (PFB/CSS layouts: reference tools/asfh.py:6-32; incremental parse:
+// reference tools/asfh.py:89-134). Per-frame Python parsing costs
+// ~5 us/frame; this scan is ~50 ns/frame.
+// ---------------------------------------------------------------------------
+
+static const uint32_t css_srates[12] = {96000, 88200, 64000, 48000, 44100,
+                                        32000, 24000, 22050, 16000, 12000,
+                                        11025, 8000};
+
+static inline uint32_t be32(const uint8_t* p) {
+    return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16)
+         | ((uint32_t)p[2] << 8) | p[3];
+}
+
+// returns #frames parsed; *tail_pos = offset where the (possibly empty)
+// unparsed tail begins, or -1 for "no tail" (scan consumed everything
+// after the last frame and found no further sign), or -2 on a CSS srate
+// index the Python tables would throw for (caller raises IndexError).
+int64_t frad_frame_parse_batch(
+        const uint8_t* s, int64_t n, int64_t cap,
+        int64_t* pay_off, int64_t* pay_len, uint8_t* is_ff,
+        uint8_t* pfbs, uint16_t* chans, uint32_t* srates, uint32_t* fsizes,
+        uint8_t* olaps, uint8_t* eccds, uint8_t* ecccs, uint32_t* crcs,
+        int32_t* hdrlens, int64_t* tail_pos) {
+    static const uint8_t SIGN[4] = {0xff, 0xd0, 0xd2, 0x98};
+    int64_t pos = 0, cnt = 0;
+    *tail_pos = -1;
+    while (cnt < cap) {
+        const uint8_t* hit = (pos + 4 <= n)
+            ? (const uint8_t*)memmem(s + pos, (size_t)(n - pos), SIGN, 4)
+            : nullptr;
+        if (!hit) return cnt;                    // no further sign: no tail
+        int64_t idx = hit - s;
+        if (idx + 9 > n) { *tail_pos = idx; return cnt; }
+        uint64_t frmbytes = be32(s + idx + 4);
+        uint8_t pfb = s[idx + 8];
+        int profile = pfb >> 5;
+        bool ecc = (pfb >> 4) & 1;
+        int64_t hdr;
+        uint16_t ch = 0; uint32_t sr = 0, fs = 0, crc = 0;
+        uint8_t ol = 0, ed = 0, ec = 0, ff = 0;
+        if (profile == 1 || profile == 2) {      // compact
+            if (idx + 12 > n) { *tail_pos = idx; return cnt; }
+            uint16_t css = ((uint16_t)s[idx + 9] << 8) | s[idx + 10];
+            ch = (css >> 10) + 1;
+            int sri = (css >> 6) & 0xf;
+            if (sri >= 12) { *tail_pos = -2; return cnt; }
+            sr = css_srates[sri];
+            int fsi = (css >> 1) & 0x1f;
+            static const int bases[4] = {128, 160, 192, 224};
+            fs = (uint32_t)bases[fsi & 3] << (fsi >> 2);
+            if (css & 1) {                       // force-flush terminator
+                ff = 1; hdr = 12;
+                pay_off[cnt] = idx + hdr; pay_len[cnt] = 0;
+                goto record;
+            }
+            ol = s[idx + 11];
+            if (ol) ol += 1;
+            if (ecc) {
+                if (idx + 16 > n) { *tail_pos = idx; return cnt; }
+                ed = s[idx + 12]; ec = s[idx + 13];
+                crc = ((uint32_t)s[idx + 14] << 8) | s[idx + 15];
+                hdr = 16;
+            } else hdr = 12;
+        } else {                                 // lossless 32-byte header
+            if (idx + 32 > n) { *tail_pos = idx; return cnt; }
+            ch = s[idx + 9] + 1;
+            ed = s[idx + 10]; ec = s[idx + 11];
+            sr = be32(s + idx + 12);
+            fs = be32(s + idx + 24);
+            crc = be32(s + idx + 28);
+            hdr = 32;
+        }
+        if (frmbytes == 0xffffffffull) {         // u64 length escape
+            if (idx + hdr + 8 > n) { *tail_pos = idx; return cnt; }
+            frmbytes = 0;
+            for (int b = 0; b < 8; b++)
+                frmbytes = (frmbytes << 8) | s[idx + hdr + b];
+            hdr += 8;
+        }
+        if (idx + hdr + (int64_t)frmbytes > n) { *tail_pos = idx; return cnt; }
+        pay_off[cnt] = idx + hdr;
+        pay_len[cnt] = (int64_t)frmbytes;
+    record:
+        is_ff[cnt] = ff;
+        pfbs[cnt] = pfb;
+        chans[cnt] = ch; srates[cnt] = sr; fsizes[cnt] = fs;
+        olaps[cnt] = ol; eccds[cnt] = ed; ecccs[cnt] = ec; crcs[cnt] = crc;
+        hdrlens[cnt] = (int32_t)hdr;
+        pos = ff ? idx + hdr : idx + hdr + (int64_t)frmbytes;
+        cnt++;
+    }
+    return cnt;
+}
+
 } // extern "C"

@@ -640,10 +640,42 @@ def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes | None], bytes]
 
     Force-flush terminator frames are recorded as (header, None) pairs so
     the batched decoder can replicate the streaming flush without falling
-    back to the per-frame engine.
+    back to the per-frame engine. The scan itself runs in C++ when
+    available (~100x the per-frame Python parse); both paths return
+    identical structures.
     """
-    headers: list[ASFH] = []
-    payloads: list[bytes | None] = []
+    if native.has("frad_frame_parse_batch"):
+        (cnt, pay_off, pay_len, is_ff, pfb, chans, srates, fsizes, olaps,
+         eccds, ecccs, crcs, hdrlens, tail_pos) = \
+            native.frame_parse_batch(stream)
+        headers = []
+        payloads: list[bytes | None] = []
+        from ..container.asfh import decode_pfb
+        for i in range(cnt):
+            a = ASFH()
+            a.frmbytes = int(pay_len[i])
+            a.profile, a.ecc, a.endian, a.bit_depth_index = decode_pfb(int(pfb[i]))
+            a.channels = int(chans[i])
+            a.srate = int(srates[i])
+            a.fsize = int(fsizes[i])
+            a.overlap_ratio = int(olaps[i])
+            a.ecc_dsize = int(eccds[i])
+            a.ecc_codesize = int(ecccs[i])
+            a.crc = int(crcs[i])
+            a.header_bytes = int(hdrlens[i])
+            a.all_set = True
+            off = int(pay_off[i])
+            # raw header bytes: _reframe()'s authoritative serialisation
+            a.buffer = stream[off - a.header_bytes: off]
+            if is_ff[i]:
+                payloads.append(None)
+            else:
+                payloads.append(stream[off: off + a.frmbytes])
+            headers.append(a)
+        return headers, payloads, (b"" if tail_pos < 0 else stream[tail_pos:])
+
+    headers = []
+    payloads = []
     pos = 0
     n = len(stream)
     while True:

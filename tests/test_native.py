@@ -204,3 +204,58 @@ def test_p1_pack_batch_pipeline_parity():
         native.LIB = lib
         native._missing = set()
     assert stream_nat == stream_py
+
+
+def test_frame_parse_batch_matches_python_parser():
+    """The C++ ASFH batch scan must return structures identical to the
+    Python _parse_frames on frames with ECC, overlap, force-flush
+    terminators, junk, truncation, and the u64 length escape."""
+    import struct
+
+    from frad_python_tpu.container.asfh import ASFH
+    from frad_python_tpu.parallel import batch_encode, pipeline
+    import frad_python_tpu.native as nat
+
+    if not nat.has("frad_frame_parse_batch"):
+        import pytest
+        pytest.skip("native frame parser not built")
+
+    pcm = rng.standard_normal((20000, 2)) * 0.4
+    s_p1 = batch_encode(pcm, 1, 48000, 16, 2048, enable_ecc=True,
+                        overlap_ratio=16)
+    s_p0 = batch_encode(pcm, 0, 44100, 24, 512)
+    s_p4 = batch_encode(pcm, 4, 44100, 64, 512, enable_ecc=True)
+
+    a = ASFH()
+    a.profile, a.ecc, a.endian, a.bit_depth_index = 0, False, False, 2
+    a.channels, a.srate, a.fsize, a.overlap_ratio = 2, 44100, 16, 0
+    payload = bytes(range(100)) * 2
+    hdr = a.write(payload)
+    escaped = (hdr[:4] + b"\xff\xff\xff\xff" + hdr[8:32]
+               + struct.pack(">Q", len(payload)) + payload)
+
+    streams = [
+        s_p1, s_p0,
+        b"JUNKJUNK" + s_p4[: len(s_p4) - 37],          # junk + truncation
+        s_p1 + b"\xff\xd0" + s_p0 + b"\xff\xd0\xd2\x98\x00\x00",
+        escaped + s_p0[:500],
+        b"", b"\xff\xd0\xd2",                           # degenerate
+    ]
+
+    def snap(headers, payloads, tail):
+        hs = [(h.profile, h.ecc, h.endian, h.bit_depth_index, h.channels,
+               h.srate, h.fsize, h.overlap_ratio, h.ecc_dsize,
+               h.ecc_codesize, h.crc, h.header_bytes, h.buffer,
+               h.frmbytes if p is not None else -1)
+              for h, p in zip(headers, payloads)]
+        return hs, payloads, tail
+
+    for i, s in enumerate(streams):
+        got = snap(*pipeline._parse_frames(s))
+        missing = nat._missing.copy()
+        nat._missing.add("frad_frame_parse_batch")
+        try:
+            want = snap(*pipeline._parse_frames(s))
+        finally:
+            nat._missing = missing
+        assert got == want, f"stream {i} diverged"
