@@ -648,29 +648,41 @@ def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes | None], bytes]
         (cnt, pay_off, pay_len, is_ff, pfb, chans, srates, fsizes, olaps,
          eccds, ecccs, crcs, hdrlens, tail_pos) = \
             native.frame_parse_batch(stream)
+        # vectorised field decode + one C-level list conversion per
+        # column: the per-frame Python work is just object fill
+        rows = zip(pay_len[:cnt].tolist(),
+                   (pfb[:cnt] >> 5).tolist(),
+                   ((pfb[:cnt] >> 4) & 1).astype(bool).tolist(),
+                   ((pfb[:cnt] >> 3) & 1).astype(bool).tolist(),
+                   (pfb[:cnt] & 7).tolist(),
+                   chans[:cnt].tolist(), srates[:cnt].tolist(),
+                   fsizes[:cnt].tolist(), olaps[:cnt].tolist(),
+                   eccds[:cnt].tolist(), ecccs[:cnt].tolist(),
+                   crcs[:cnt].tolist(), hdrlens[:cnt].tolist(),
+                   is_ff[:cnt].tolist(), pay_off[:cnt].tolist())
         headers = []
         payloads: list[bytes | None] = []
-        from ..container.asfh import decode_pfb
-        for i in range(cnt):
-            a = ASFH()
-            a.frmbytes = int(pay_len[i])
-            a.profile, a.ecc, a.endian, a.bit_depth_index = decode_pfb(int(pfb[i]))
-            a.channels = int(chans[i])
-            a.srate = int(srates[i])
-            a.fsize = int(fsizes[i])
-            a.overlap_ratio = int(olaps[i])
-            a.ecc_dsize = int(eccds[i])
-            a.ecc_codesize = int(ecccs[i])
-            a.crc = int(crcs[i])
-            a.header_bytes = int(hdrlens[i])
+        new = ASFH.__new__
+        for (fb, prof, ecc, endian, bdi, ch, sr, fs, ol, ed, ec, crc, hl,
+             ff, off) in rows:
+            a = new(ASFH)
+            a.frmbytes = fb
+            a.profile = prof
+            a.ecc = ecc
+            a.endian = endian
+            a.bit_depth_index = bdi
+            a.channels = ch
+            a.srate = sr
+            a.fsize = fs
+            a.overlap_ratio = ol
+            a.ecc_dsize = ed
+            a.ecc_codesize = ec
+            a.crc = crc
+            a.header_bytes = hl
             a.all_set = True
-            off = int(pay_off[i])
             # raw header bytes: _reframe()'s authoritative serialisation
-            a.buffer = stream[off - a.header_bytes: off]
-            if is_ff[i]:
-                payloads.append(None)
-            else:
-                payloads.append(stream[off: off + a.frmbytes])
+            a.buffer = stream[off - hl: off]
+            payloads.append(None if ff else stream[off: off + fb])
             headers.append(a)
         return headers, payloads, (b"" if tail_pos < 0 else stream[tail_pos:])
 
