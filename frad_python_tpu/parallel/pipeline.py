@@ -635,6 +635,60 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     return b"".join(framed)
 
 
+def _scan_native(stream: bytes):
+    """C++ whole-stream ASFH scan -> (headers, payloads, tail_pos,
+    starts), or None when the native parser is unavailable.
+
+    ~50 ns/frame vs ~5 us/frame for the per-frame Python parse; the
+    vectorised field decode leaves only object fill per frame. Each
+    header carries its raw bytes in `.buffer`; starts[i] is the byte
+    offset of frame i's FRM_SIGN (callers recover junk spans between
+    frames from it). tail_pos is the offset of the unparsed tail, -1
+    when none.
+    """
+    if not native.has("frad_frame_parse_batch"):
+        return None
+    (cnt, pay_off, pay_len, is_ff, pfb, chans, srates, fsizes, olaps,
+     eccds, ecccs, crcs, hdrlens, tail_pos) = \
+        native.frame_parse_batch(stream)
+    rows = zip(pay_len[:cnt].tolist(),
+               (pfb[:cnt] >> 5).tolist(),
+               ((pfb[:cnt] >> 4) & 1).astype(bool).tolist(),
+               ((pfb[:cnt] >> 3) & 1).astype(bool).tolist(),
+               (pfb[:cnt] & 7).tolist(),
+               chans[:cnt].tolist(), srates[:cnt].tolist(),
+               fsizes[:cnt].tolist(), olaps[:cnt].tolist(),
+               eccds[:cnt].tolist(), ecccs[:cnt].tolist(),
+               crcs[:cnt].tolist(), hdrlens[:cnt].tolist(),
+               is_ff[:cnt].tolist(), pay_off[:cnt].tolist())
+    headers: list[ASFH] = []
+    payloads: list[bytes | None] = []
+    new = ASFH.__new__
+    for (fb, prof, ecc, endian, bdi, ch, sr, fs, ol, ed, ec, crc, hl,
+         ff, off) in rows:
+        a = new(ASFH)
+        a.frmbytes = fb
+        a.profile = prof
+        a.ecc = ecc
+        a.endian = endian
+        a.bit_depth_index = bdi
+        a.channels = ch
+        a.srate = sr
+        a.fsize = fs
+        a.overlap_ratio = ol
+        a.ecc_dsize = ed
+        a.ecc_codesize = ec
+        a.crc = crc
+        a.header_bytes = hl
+        a.all_set = True
+        # raw header bytes: _reframe()'s authoritative serialisation
+        a.buffer = stream[off - hl: off]
+        payloads.append(None if ff else stream[off: off + fb])
+        headers.append(a)
+    starts = (pay_off[:cnt] - hdrlens[:cnt]).tolist()
+    return headers, payloads, int(tail_pos), starts
+
+
 def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes | None], bytes]:
     """O(n) frame scan; headers are <= 40 bytes incl. the u64 extension.
 
@@ -644,46 +698,9 @@ def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes | None], bytes]
     available (~100x the per-frame Python parse); both paths return
     identical structures.
     """
-    if native.has("frad_frame_parse_batch"):
-        (cnt, pay_off, pay_len, is_ff, pfb, chans, srates, fsizes, olaps,
-         eccds, ecccs, crcs, hdrlens, tail_pos) = \
-            native.frame_parse_batch(stream)
-        # vectorised field decode + one C-level list conversion per
-        # column: the per-frame Python work is just object fill
-        rows = zip(pay_len[:cnt].tolist(),
-                   (pfb[:cnt] >> 5).tolist(),
-                   ((pfb[:cnt] >> 4) & 1).astype(bool).tolist(),
-                   ((pfb[:cnt] >> 3) & 1).astype(bool).tolist(),
-                   (pfb[:cnt] & 7).tolist(),
-                   chans[:cnt].tolist(), srates[:cnt].tolist(),
-                   fsizes[:cnt].tolist(), olaps[:cnt].tolist(),
-                   eccds[:cnt].tolist(), ecccs[:cnt].tolist(),
-                   crcs[:cnt].tolist(), hdrlens[:cnt].tolist(),
-                   is_ff[:cnt].tolist(), pay_off[:cnt].tolist())
-        headers = []
-        payloads: list[bytes | None] = []
-        new = ASFH.__new__
-        for (fb, prof, ecc, endian, bdi, ch, sr, fs, ol, ed, ec, crc, hl,
-             ff, off) in rows:
-            a = new(ASFH)
-            a.frmbytes = fb
-            a.profile = prof
-            a.ecc = ecc
-            a.endian = endian
-            a.bit_depth_index = bdi
-            a.channels = ch
-            a.srate = sr
-            a.fsize = fs
-            a.overlap_ratio = ol
-            a.ecc_dsize = ed
-            a.ecc_codesize = ec
-            a.crc = crc
-            a.header_bytes = hl
-            a.all_set = True
-            # raw header bytes: _reframe()'s authoritative serialisation
-            a.buffer = stream[off - hl: off]
-            payloads.append(None if ff else stream[off: off + fb])
-            headers.append(a)
+    scan = _scan_native(stream)
+    if scan is not None:
+        headers, payloads, tail_pos, _starts = scan
         return headers, payloads, (b"" if tail_pos < 0 else stream[tail_pos:])
 
     headers = []
@@ -1182,6 +1199,32 @@ def batch_repair(stream: bytes, ecc_ratio: tuple[int, int] = DEFAULT_ECC_RATIO,
                 h.ecc = True
                 h.ecc_dsize, h.ecc_codesize = ecc_ratio
                 out.append(h.write(ecc_mod.encode(p, *ecc_ratio)))
+
+    scan = _scan_native(stream)
+    if scan is not None:
+        headers_s, payloads_s, _tail_pos, starts = scan
+        prev = 0
+        for a, p, st in zip(headers_s, payloads_s, starts):
+            if st > prev:
+                flush_run()
+                out.append(stream[prev:st])       # passthrough bytes
+            if p is None:                         # force-flush terminator
+                flush_run()
+                out.append(a.buffer)
+                prev = st + a.header_bytes
+                continue
+            key = (a.profile, a.channels, a.srate, a.endian,
+                   a.overlap_ratio, a.ecc, a.ecc_dsize, a.ecc_codesize)
+            if key != run_key:
+                flush_run()
+                run_key = key
+            run_hs.append(a)
+            run_ps.append(p)
+            prev = st + a.header_bytes + a.frmbytes
+        flush_run()
+        # trailing junk / truncated frame passes through (Repairer.flush())
+        out.append(stream[prev:])
+        return b"".join(out)
 
     while True:
         idx = stream.find(FRM_SIGN, pos)
