@@ -22,18 +22,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import psycho
-from ..ops.dct import _dct2_impl, _idct2_impl, device_matrices, MATMUL_MAX_N
+from ..ops.dct import _dct2_impl, _idct2_impl, device_matrices, use_matmul
 
 
-def _use_matmul(n: int) -> bool:
-    return n <= MATMUL_MAX_N
+def _use_matmul(n: int, dtype=jnp.float32) -> bool:
+    return use_matmul(n, dtype)
 
 
 def _mats(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
     """DCT matrices as device-resident jit ARGUMENTS (never HLO
     constants — giant constants stall XLA constant folding for tens of
     seconds per compiled shape)."""
-    if n > MATMUL_MAX_N:
+    if not use_matmul(n, dtype):
         return None, None
     return device_matrices(n, str(jnp.dtype(dtype)))
 
@@ -147,7 +147,7 @@ def _replicated_mats(n: int, dtype_name: str):
 
 def _mats_like(n: int, dtype, arr) -> tuple[jax.Array | None, jax.Array | None]:
     """`_mats`, matched to `arr`'s placement (replicated when sharded)."""
-    if n > MATMUL_MAX_N:
+    if not use_matmul(n, dtype):
         return None, None
     if not isinstance(arr, jax.core.Tracer) \
             and isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
@@ -161,7 +161,7 @@ def _mats_like(n: int, dtype, arr) -> tuple[jax.Array | None, jax.Array | None]:
 @jax.jit
 def _p0_encode_jit(frames: jax.Array, fwd) -> jax.Array:
     x = jnp.swapaxes(frames, 1, 2)                 # [B, C, N]
-    y = _dct2_impl(x, _use_matmul(x.shape[-1]), fwd)
+    y = _dct2_impl(x, _use_matmul(x.shape[-1], x.dtype), fwd)
     return jnp.swapaxes(y, 1, 2)
 
 
@@ -175,7 +175,7 @@ def p0_encode_core(frames) -> jax.Array:
 @jax.jit
 def _p0_decode_jit(freqs: jax.Array, inv) -> jax.Array:
     y = jnp.swapaxes(freqs, 1, 2)
-    x = _idct2_impl(y, _use_matmul(y.shape[-1]), inv)
+    x = _idct2_impl(y, _use_matmul(y.shape[-1], y.dtype), inv)
     return jnp.swapaxes(x, 1, 2)
 
 
@@ -207,7 +207,7 @@ def _p0_encode_pack_jit(frames: jax.Array, bits: int, little: bool, fwd):
 
     b = frames.shape[0]
     x = jnp.swapaxes(frames, 1, 2)                 # [B, C, N]
-    y = _dct2_impl(x, _use_matmul(x.shape[-1]), fwd)
+    y = _dct2_impl(x, _use_matmul(x.shape[-1], x.dtype), fwd)
     flat = jnp.swapaxes(y, 1, 2).reshape(b, -1)    # frame-major interleave
     maxabs = jnp.max(jnp.abs(flat), axis=1)
     words = bitpack.trunc_pack.__wrapped__(flat, bits, little)
@@ -252,7 +252,7 @@ def _p0_unpack_decode_jit(words: jax.Array, bits: int, little: bool,
     flat = bitpack.trunc_unpack.__wrapped__(words, bits, little)
     freqs = flat.reshape(words.shape[0], n, ch)
     y = jnp.swapaxes(freqs, 1, 2)
-    x = _idct2_impl(y, _use_matmul(n), inv)
+    x = _idct2_impl(y, _use_matmul(n, y.dtype), inv)
     pcm = jnp.swapaxes(x, 1, 2)
     if i24:
         return bitpack.pcm_to_i24_words(pcm)
@@ -290,7 +290,7 @@ def _p1_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
                    factor: jax.Array, fwd):
     n = frames.shape[1]
     x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
-    freqs = _dct2_impl(x, _use_matmul(n), fwd)
+    freqs = _dct2_impl(x, _use_matmul(n, x.dtype), fwd)
 
     thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
@@ -355,7 +355,7 @@ def _p1_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
     freqs = masked * div
 
-    pcm = _idct2_impl(freqs, _use_matmul(n), inv)
+    pcm = _idct2_impl(freqs, _use_matmul(n, freqs.dtype), inv)
     return jnp.swapaxes(pcm, 1, 2)
 
 
@@ -382,7 +382,7 @@ def _p2_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
 
     n = frames.shape[1]
     x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
-    freqs = _dct2_impl(x, _use_matmul(n), fwd)
+    freqs = _dct2_impl(x, _use_matmul(n, x.dtype), fwd)
 
     thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
@@ -435,7 +435,7 @@ def _p2_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
     freqs = tns_jax.tns_synthesis(masked, lpc_c) * div
 
-    pcm = _idct2_impl(freqs, _use_matmul(n), inv)
+    pcm = _idct2_impl(freqs, _use_matmul(n, freqs.dtype), inv)
     return jnp.swapaxes(pcm, 1, 2)
 
 

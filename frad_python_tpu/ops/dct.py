@@ -32,7 +32,16 @@ import numpy as np
 # 22 ms for [2816, 8192] @ [8192, 8192] on the v5e — dispatch-latency
 # bound, not compute). Matmul also compiles ~6x faster than the chunked
 # FFT program, which matters on a cold persistent-compile cache.
+# The matmul case is f32-only: at f64 (the CPU archival path) the FFT
+# formulation is BOTH ~57 dB more accurate (3.6e-16 vs 2.7e-13 rel err
+# at N=2048 — the matmul accumulates N rounding steps per output) and
+# ~13x faster on the host, matching the reference's scipy FFT-based DCT.
 MATMUL_MAX_N = 8192
+
+
+def use_matmul(n: int, dtype) -> bool:
+    """Matmul formulation only for f32 (MXU) and N within the matrix cap."""
+    return n <= MATMUL_MAX_N and jnp.dtype(dtype) != jnp.float64
 
 # XLA:TPU silently miscompiles very large FFT batches (observed: wrong
 # results for ~2800 x 8192-point c64 FFTs, correct when chunked). Cap the
@@ -199,7 +208,7 @@ def _idct2_jit(y: jax.Array, mat, use_matmul: bool) -> jax.Array:
 
 
 def _mats_for(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
-    if n > MATMUL_MAX_N:
+    if not use_matmul(n, dtype):
         return None, None
     return device_matrices(n, str(jnp.dtype(dtype)))
 
@@ -209,7 +218,7 @@ def dct2_forward(x, axis: int = -1):
     x = jnp.asarray(x)
     x = jnp.moveaxis(x, axis, -1)
     fwd, _ = _mats_for(x.shape[-1], x.dtype)
-    out = _dct2_jit(x, fwd, x.shape[-1] <= MATMUL_MAX_N)
+    out = _dct2_jit(x, fwd, use_matmul(x.shape[-1], x.dtype))
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -218,5 +227,5 @@ def idct2_forward(y, axis: int = -1):
     y = jnp.asarray(y)
     y = jnp.moveaxis(y, axis, -1)
     _, inv = _mats_for(y.shape[-1], y.dtype)
-    out = _idct2_jit(y, inv, y.shape[-1] <= MATMUL_MAX_N)
+    out = _idct2_jit(y, inv, use_matmul(y.shape[-1], y.dtype))
     return jnp.moveaxis(out, -1, axis)

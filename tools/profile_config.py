@@ -8,7 +8,6 @@ import pathlib
 import sys
 import time
 
-import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))

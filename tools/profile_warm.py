@@ -16,7 +16,7 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import frad_python_tpu  # noqa: F401
-from frad_python_tpu import native
+
 
 t_ = time.perf_counter()
 def stamp(label):
