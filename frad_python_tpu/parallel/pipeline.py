@@ -726,8 +726,12 @@ def _parse_frames(stream: bytes) -> tuple[list[ASFH], list[bytes | None], bytes]
 
 
 def _run_key(h: ASFH):
+    # ecc_dsize/ecc_codesize are run-splitting too: _decode_run unarmors
+    # the whole run with h0's ratio, so a mid-stream re-armor at a new
+    # ratio must start a new run (caught by
+    # test_parallel.py::test_mixed_ecc_ratio_stream)
     return (h.profile, h.bit_depth_index, h.channels, h.srate, h.fsize,
-            h.ecc, h.endian, h.overlap_ratio)
+            h.ecc, h.endian, h.overlap_ratio, h.ecc_dsize, h.ecc_codesize)
 
 
 def _frag_head(out: np.ndarray, frag: np.ndarray) -> np.ndarray:

@@ -19,6 +19,20 @@ class TestDCT:
         got = np.asarray(dct2_forward(x))
         np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
 
+    def test_f64_takes_fft_path_at_archival_accuracy(self):
+        """The archival (f64) transform must keep FFT-grade accuracy:
+        a 2048-point round trip stays above 300 dB SNR. The matmul
+        formulation sits ~50 dB below that (N rounding steps per
+        output), which bench's SNR-regression flag caught in round 3 —
+        this pins the f64 -> FFT routing (ops/dct.py::use_matmul)."""
+        from frad_python_tpu.ops.dct import idct2_forward, use_matmul
+        assert not use_matmul(2048, np.float64)
+        assert use_matmul(2048, np.float32)
+        x = rng.standard_normal((8, 2048))
+        back = np.asarray(idct2_forward(np.asarray(dct2_forward(x))))
+        snr = 10 * np.log10((x ** 2).sum() / ((x - back) ** 2).sum())
+        assert snr > 300, f"f64 DCT round trip degraded to {snr:.1f} dB"
+
     @pytest.mark.parametrize("n", [128, 2048, 5120])
     def test_inverse_matches_scipy(self, n):
         y = rng.standard_normal((3, n))

@@ -589,6 +589,22 @@ class TestBatchDecodeFormatChange:
         np.testing.assert_array_equal(pcm2, b)
         assert rest2 == b""
 
+    def test_mixed_ecc_ratio_stream(self):
+        """A mid-stream ECC ratio change must split the batched run:
+        _decode_run unarmors a whole run with h0's (dsize, codesize), so
+        grouping (96,24) and (48,12) frames together corrupts every
+        frame after the switch (round-3 regression)."""
+        rng3 = np.random.default_rng(92)
+        pcm = rng3.standard_normal((8192, 2)) * 0.4
+        stream = (batch_encode(pcm, 4, 44100, 16, 512, enable_ecc=True,
+                               ecc_ratio=(96, 24))
+                  + batch_encode(pcm, 4, 44100, 16, 512, enable_ecc=True,
+                                 ecc_ratio=(48, 12)))
+        want = stream_decode(stream, fix=True)
+        got, sr = batch_decode(stream, fix_error=True)
+        assert sr == 44100
+        np.testing.assert_array_equal(got, want)
+
 
 class TestP0DeviceFastPath:
     """The fused device pack/unpack fast path (compute_dtype='float32',
