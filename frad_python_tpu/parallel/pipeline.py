@@ -1125,8 +1125,12 @@ def batch_decode(stream: bytes, *, fix_error: bool = False,
             out_parts.append(frag)
 
     parts = [np.atleast_2d(p) for p in out_parts if p.size]
-    pcm_out = (np.concatenate(parts, axis=0) if parts
-               else np.empty((0, first.channels)))
+    if not parts:
+        pcm_out = np.empty((0, first.channels))
+    elif len(parts) == 1:
+        pcm_out = parts[0]          # single run: skip the 8 B/sample copy
+    else:
+        pcm_out = np.concatenate(parts, axis=0)
     if return_remainder:
         return pcm_out, srate, remainder
     return pcm_out, srate
