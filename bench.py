@@ -64,11 +64,17 @@ def probe_link(size: int = 8 << 20, parts: int = 8) -> dict:
     so BENCH_DETAIL says whether a config is transport-capped (near the
     ceiling) or host-capped (far below it) — on the link as it behaves
     during THIS run, not as it behaved when BASELINE.md was written.
+
+    The h2d buffer is i16-quantised bench audio — the tunnel compresses
+    h2d, so probing it with random bytes understates the ceiling ~10x
+    and mislabels every config's floor as h2d-bound; d2h is measured on
+    the same buffer (d2h is content-independent on this tunnel).
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    rng = np.random.default_rng(0)
-    host = rng.integers(0, 2**31, size=size // 4, dtype=np.int32)
+    audio = make_audio(size / 4 / 44100, 44100, 2)
+    host = np.clip(np.rint(audio * 32768.0), -32768,
+                   32767).astype(np.int16).reshape(-1)[: size // 2]
     pool = ThreadPoolExecutor(max_workers=parts)
     bounds = [len(host) * i // parts for i in range(parts + 1)]
     dev = jax.device_put(host)
