@@ -65,10 +65,10 @@ def probe_link(size: int = 8 << 20, parts: int = 8) -> dict:
     ceiling) or host-capped (far below it) — on the link as it behaves
     during THIS run, not as it behaved when BASELINE.md was written.
 
-    The h2d buffer is i16-quantised bench audio — the tunnel compresses
-    h2d, so probing it with random bytes understates the ceiling ~10x
-    and mislabels every config's floor as h2d-bound; d2h is measured on
-    the same buffer (d2h is content-independent on this tunnel).
+    The h2d buffer is i16-quantised bench audio — the content class the
+    pipeline actually ships (measured: content changes h2d by <10% in
+    either link state; the tunnel's bandwidth itself swings ~100x hour
+    to hour, which is why the probe runs inside the bench at all).
     """
     from concurrent.futures import ThreadPoolExecutor
 
