@@ -465,9 +465,11 @@ def p1_decode_oa_core(freqs_flat, thres_flat, srate: int, factor,
              np.zeros((pad,) + np.asarray(thres_flat).shape[1:],
                       np.asarray(thres_flat).dtype)])
     thres_flat, _ = place_rows(thres_flat)
-    _, inv = _mats_like(freqs_flat.shape[1], freqs_flat.dtype, freqs_flat)
+    # int16 symbol uploads compute in f32 (the in-graph cast is exact)
+    cdt = jnp.float32 if freqs_flat.dtype == jnp.int16 else freqs_flat.dtype
+    _, inv = _mats_like(freqs_flat.shape[1], cdt, freqs_flat)
     out, frag = _p1_decode_oa_jit(freqs_flat, jnp.asarray(thres_flat), srate,
-                                  jnp.asarray(factor, freqs_flat.dtype), olap,
+                                  jnp.asarray(factor, cdt), olap,
                                   cut, i16, inv, last=nreal - 1)
     return _unpad(out, pad), frag
 
@@ -477,6 +479,11 @@ def p1_decode_oa_core(freqs_flat, thres_flat, srate: int, factor,
 def _p1_decode_oa_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
                       srate: int, factor: jax.Array, olap: int, cut: int,
                       i16: bool, inv, last: int | None = None):
+    if freqs_flat.dtype == jnp.int16:
+        # i16 symbol upload (see p1_decode_oa_core): the EGR symbols are
+        # small integers, exact in int16 — casting back to f32 reproduces
+        # the f32 upload bit-for-bit at half the h2d bytes
+        freqs_flat = freqs_flat.astype(jnp.float32)
     pcm = _p1_decode_jit.__wrapped__(freqs_flat, thres_flat, srate, factor, inv)
     last = pcm.shape[0] - 1 if last is None else last
     frag = pcm[last, cut:cut + olap, :] if olap else pcm[last, :0, :]

@@ -68,6 +68,8 @@ _OPTIONAL_SYMBOLS = [
      [_C.c_void_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
     ("frad_unpack_floats", None,
      [_C.c_char_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
+    ("frad_maxabs_rows", None,
+     [_C.c_void_p, _C.c_size_t, _C.c_size_t, _C.c_void_p, _C.c_int]),
     ("frad_frame_parse_batch", _C.c_int64,
      [_C.c_char_p, _C.c_int64, _C.c_int64,
       _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p,
@@ -366,6 +368,17 @@ def unpack_floats(frad: bytes, bits: int, little_endian: bool,
     out = np.empty(n, dtype=np.float64)
     LIB.frad_unpack_floats(frad, n, bits, int(little_endian),
                            out.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out
+
+
+def maxabs_rows(mat: np.ndarray, nthreads: int = 2) -> np.ndarray:
+    """Per-row max|x| of an [rows, cols] f64 matrix in one striped pass
+    (the lossless bit-depth escalation probe)."""
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    rows, cols = mat.shape
+    out = np.empty(rows, dtype=np.float64)
+    LIB.frad_maxabs_rows(mat.ctypes.data_as(ctypes.c_void_p), rows, cols,
+                         out.ctypes.data_as(ctypes.c_void_p), nthreads)
     return out
 
 

@@ -1082,6 +1082,49 @@ void frad_pack_floats(const double* in, size_t n, int bits, int little,
     run_striped(n, nthreads, pack_floats_span, &ctx);
 }
 
+// ---------------------------------------------------------------------------
+// Per-row max|x| over an [rows, cols] f64 matrix — the lossless profiles'
+// bit-depth escalation probe (reference profile0.py:24-26). One striped
+// pass instead of numpy's two (max + -min) full-matrix reductions.
+// ---------------------------------------------------------------------------
+
+struct MaxAbsCtx { const double* in; double* out; size_t cols; };
+
+static void maxabs_span(size_t lo, size_t hi, void* vctx) {
+    MaxAbsCtx* c = (MaxAbsCtx*)vctx;
+    for (size_t r = lo; r < hi; r++) {
+        const double* p = c->in + r * c->cols;
+        double m = 0.0;
+        for (size_t j = 0; j < c->cols; j++) {
+            double a = std::fabs(p[j]);
+            if (a > m) m = a;
+        }
+        c->out[r] = m;
+    }
+}
+
+void frad_maxabs_rows(const double* in, size_t rows, size_t cols,
+                      double* out, int nthreads) {
+    MaxAbsCtx ctx = {in, out, cols};
+    // run_striped's element gate is sized for flat arrays; the work here
+    // is rows*cols, so thread whenever the matrix (not the row count) is
+    // large enough to amortise the spawn
+    if (rows * cols < (size_t)1 << 16) nthreads = 1;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || rows < (size_t)nthreads) {
+        maxabs_span(0, rows, &ctx);
+        return;
+    }
+    std::vector<std::thread> ts;
+    size_t per = (rows + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        size_t lo = per * t, hi = lo + per < rows ? lo + per : rows;
+        if (lo >= hi) break;
+        ts.emplace_back(maxabs_span, lo, hi, &ctx);
+    }
+    for (auto& th : ts) th.join();
+}
+
 struct UnpackFloatsCtx {
     const uint8_t* in;
     double* out;

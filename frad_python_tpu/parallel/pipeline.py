@@ -207,6 +207,24 @@ def plan_frames(total: int, fsize: int, overlap_ratio: int, is_compact: bool
     return frames, terms
 
 
+class _BlobParts:
+    """A batch of equal-length payloads kept as ONE joined blob.
+
+    The lossless host pack emits all frames of a single-depth batch as one
+    contiguous byte string; keeping it joined lets the native framer slice
+    by offset instead of materialising B Python bytes objects (the
+    no-transform profile-4 config spends visible wall on those copies)."""
+
+    __slots__ = ("blob", "per", "bdi", "flen", "n")
+
+    def __init__(self, blob: bytes, per: int, bdi: int, flen: int, n: int):
+        self.blob, self.per, self.bdi, self.flen, self.n = blob, per, bdi, flen, n
+
+    def as_parts(self) -> list[tuple[bytes, int, int]]:
+        return [(self.blob[i * self.per:(i + 1) * self.per], self.bdi, self.flen)
+                for i in range(self.n)]
+
+
 def _asfh_for(profile: int, bit_depth_index: int, channels: int, srate: int,
               fsize: int, *, ecc: bool, ecc_ratio: tuple[int, int],
               little_endian: bool, overlap_ratio: int) -> ASFH:
@@ -285,8 +303,6 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
     tail = frames[len(uniform):]            # 0 or 1 non-uniform tail frame
 
     # ---- tensor domain: batched core calls over the uniform frames ----
-    payload_parts: list[tuple[bytes, int, int]] = []  # (payload, bdi, flen)
-
     olap_active = is_compact and overlap_ratio > 1
 
     def _gather(frs: list[tuple[int, int]], length: int) -> np.ndarray:
@@ -551,13 +567,17 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                         arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
             coeffs = arr
-        if coeffs.size:
-            flat = coeffs.reshape(len(frs), -1)
-            # max(|x|) as max/-min (no |x| temporary: profile 4 is the
-            # no-transform config, every host pass shows on the clock)
-            maxabs = np.maximum(flat.max(axis=1), -flat.min(axis=1))
-        else:
-            maxabs = np.zeros(len(frs))
+        with _stage("enc:maxabs"):
+            if coeffs.size:
+                flat = coeffs.reshape(len(frs), -1)
+                if coeffs.dtype == np.float64 and native.has("frad_maxabs_rows"):
+                    maxabs = native.maxabs_rows(flat)
+                else:
+                    # max(|x|) as max/-min (no |x| temporary: profile 4 is
+                    # the no-transform config, every pass shows on the clock)
+                    maxabs = np.maximum(flat.max(axis=1), -flat.min(axis=1))
+            else:
+                maxabs = np.zeros(len(frs))
 
         base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
         if profile == 0 and coeffs.dtype != np.float64 and any(
@@ -582,24 +602,54 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     results[i] = (payload, bdi, frs[i][1])
                 continue
             group = coeffs if len(idxs) == len(frs) else coeffs[idxs]
-            blob = packing.pack_floats(group.reshape(-1), d, little_endian)
+            with _stage("enc:host-pack"):
+                blob = packing.pack_floats(group.reshape(-1), d, little_endian)
             per = len(blob) // len(idxs)
+            if len(idxs) == len(frs):
+                # single-depth batch (the common case): keep the payloads
+                # as one joined blob — the native framer slices by offset,
+                # skipping B bytes-object copies
+                return _BlobParts(blob, per, bdi, frs[0][1], len(frs))
             for j, i in enumerate(idxs):
                 results[i] = (blob[j * per:(j + 1) * per], bdi, frs[i][1])
         return results
 
-    payload_parts.extend(_encode_frames(uniform))
-    payload_parts.extend(_encode_frames(tail))
+    groups = [g for g in (_encode_frames(uniform), _encode_frames(tail)) if g]
 
     # ---- byte domain: ECC + framing (order-preserving) ----
+    use_native = (native.has("frad_frame_pack_batch")
+                  and not (enable_ecc and ecc_ratio[0] <= 0))
+    framed: list[bytes] = []
     with _stage("enc:frame"):
-        if (native.has("frad_frame_pack_batch") and payload_parts
-                and not (enable_ecc and ecc_ratio[0] <= 0)):
-            # one threaded C++ pass: RS armor + ASFH header + CRC per
-            # frame, written straight into the output stream buffer
-            b = len(payload_parts)
-            bdis = np.fromiter((p[1] for p in payload_parts), np.uint8, b)
-            flens = np.fromiter((p[2] for p in payload_parts), np.uint32, b)
+        for g in groups:
+            if isinstance(g, _BlobParts) and not use_native:
+                g = g.as_parts()
+            if not use_native:
+                def frame_bytes(part: tuple[bytes, int, int]) -> bytes:
+                    payload, bdi, flen = part
+                    if enable_ecc:
+                        payload = ecc_mod.encode(payload, *ecc_ratio)
+                    a = _asfh_for(profile, bdi, channels, srate, flen,
+                                  ecc=enable_ecc, ecc_ratio=ecc_ratio,
+                                  little_endian=little_endian,
+                                  overlap_ratio=overlap_ratio)
+                    return a.write(payload)
+
+                framed.extend(_pool().map(frame_bytes, g))
+                continue
+            # threaded C++ pass: RS armor + ASFH header + CRC per frame,
+            # written straight into the output stream buffer
+            if isinstance(g, _BlobParts):
+                b = g.n
+                payloads: object = (
+                    g.blob, np.arange(b + 1, dtype=np.int64) * g.per)
+                bdis = np.full(b, g.bdi, np.uint8)
+                flens = np.full(b, g.flen, np.uint32)
+            else:
+                b = len(g)
+                payloads = [p[0] for p in g]
+                bdis = np.fromiter((p[1] for p in g), np.uint8, b)
+                flens = np.fromiter((p[2] for p in g), np.uint32, b)
             if is_compact:
                 fidx_of = {fl: compact.get_samples_index(int(fl))
                            for fl in set(flens.tolist())}
@@ -608,28 +658,20 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 sidx = compact.get_srate_index(srate)
             else:
                 fidx, sidx = None, 0
-            framed = [native.frame_pack_batch(
-                [p[0] for p in payload_parts], bdis, flens, fidx,
+            framed.append(native.frame_pack_batch(
+                payloads, bdis, flens, fidx,
                 profile=profile, is_compact=is_compact, channels=channels,
                 srate=srate, srate_idx=sidx, overlap_ratio=overlap_ratio,
                 little_endian=little_endian, ecc=enable_ecc,
-                ecc_dsize=ecc_ratio[0], ecc_codesize=ecc_ratio[1])]
-        else:
-            def frame_bytes(part: tuple[bytes, int, int]) -> bytes:
-                payload, bdi, flen = part
-                if enable_ecc:
-                    payload = ecc_mod.encode(payload, *ecc_ratio)
-                a = _asfh_for(profile, bdi, channels, srate, flen,
-                              ecc=enable_ecc, ecc_ratio=ecc_ratio,
-                              little_endian=little_endian,
-                              overlap_ratio=overlap_ratio)
-                return a.write(payload)
-
-            framed = list(_pool().map(frame_bytes, payload_parts))
+                ecc_dsize=ecc_ratio[0], ecc_codesize=ecc_ratio[1]))
 
     if is_compact and terms:
-        a = _asfh_for(profile, payload_parts[-1][1], channels, srate,
-                      payload_parts[-1][2], ecc=enable_ecc, ecc_ratio=ecc_ratio,
+        last = groups[-1]
+        last_bdi, last_flen = ((last.bdi, last.flen)
+                               if isinstance(last, _BlobParts)
+                               else (last[-1][1], last[-1][2]))
+        a = _asfh_for(profile, last_bdi, channels, srate, last_flen,
+                      ecc=enable_ecc, ecc_ratio=ecc_ratio,
                       little_endian=little_endian, overlap_ratio=overlap_ratio)
         framed.append(a.force_flush() * terms)
     return b"".join(framed)
@@ -812,6 +854,12 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                 if compute_dtype:
                     fq = fq.astype(compute_dtype)
                     tq = tq.astype(compute_dtype)
+            if (compute_dtype == "float32" and fq.dtype == np.float32
+                    and float(np.abs(fq).max(initial=0.0)) <= 32767.0):
+                # EGR symbols are small exact integers: int16 halves the
+                # decode h2d transfer; the in-graph cast back to f32 makes
+                # the core's output bit-identical to the f32 upload
+                fq = fq.astype(np.int16)
         i16 = bool(i16_transfer and compute_dtype == "float32")
 
         def conv(a: np.ndarray) -> np.ndarray:

@@ -295,6 +295,46 @@ class TestOverlapAddCore:
         np.testing.assert_allclose(got, want, atol=1e-15)
 
 
+class TestI16SymbolUpload:
+    def test_i16_symbols_decode_bit_identical_to_f32(self):
+        """The decode upload ships EGR symbols as int16 when they fit
+        (pipeline._decode_run); the core must produce bit-identical
+        output to the f32 upload (the in-graph cast is exact)."""
+        fq = rng.integers(-3000, 3000, (6, 2048, 2)).astype(np.float32)
+        tq = rng.integers(0, 120, (6, 27, 2)).astype(np.float32)
+        kw = dict(srate=48000, factor=float(1 << 15), olap=128, cut=1920,
+                  i16=True)
+        out_f, frag_f = batch.p1_decode_oa_core(fq, tq, **kw)
+        out_i, frag_i = batch.p1_decode_oa_core(fq.astype(np.int16), tq, **kw)
+        np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_i))
+        np.testing.assert_array_equal(np.asarray(frag_f), np.asarray(frag_i))
+
+    def test_pipeline_activates_i16_symbols_for_f32_decode(self, monkeypatch):
+        """End-to-end: an f32 batch_decode of a P1 stream uploads int16
+        symbols (when they fit int16) and still matches the f64 decode
+        to transform precision."""
+        from frad_python_tpu.parallel import pipeline
+
+        seen = []
+        orig = batch.p1_decode_oa_core
+
+        def spy(fq, tq, *a, **k):
+            seen.append(np.asarray(fq).dtype)
+            return orig(fq, tq, *a, **k)
+
+        monkeypatch.setattr(batch, "p1_decode_oa_core", spy)
+        pcm = rng.standard_normal((48000, 2)) * 0.4
+        stream = batch_encode(pcm, 1, 48000, 16, 2048)
+        got, _ = batch_decode(stream, compute_dtype="float32")
+        want, _ = batch_decode(stream)
+        assert any(d == np.int16 for d in seen)
+        assert got.shape == want.shape
+        m = min(len(got), len(want))
+        err = got[:m] - want[:m]
+        snr = 10 * np.log10(np.sum(want[:m] ** 2) / max(np.sum(err ** 2), 1e-30))
+        assert snr > 60  # f32-vs-f64 transform noise only
+
+
 class TestChannelSharding:
     """SURVEY §2 N3: the per-channel transform chain shards over a 2-D
     (data, channel) mesh with zero communication."""
