@@ -70,6 +70,9 @@ _OPTIONAL_SYMBOLS = [
      [_C.c_char_p, _C.c_size_t, _C.c_int, _C.c_int, _C.c_void_p, _C.c_int]),
     ("frad_maxabs_rows", None,
      [_C.c_void_p, _C.c_size_t, _C.c_size_t, _C.c_void_p, _C.c_int]),
+    ("frad_pack_floats_maxabs", None,
+     [_C.c_void_p, _C.c_size_t, _C.c_size_t, _C.c_int, _C.c_int,
+      _C.c_void_p, _C.c_void_p, _C.c_int]),
     ("frad_frame_parse_batch", _C.c_int64,
      [_C.c_char_p, _C.c_int64, _C.c_int64,
       _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p, _C.c_void_p,
@@ -369,6 +372,23 @@ def unpack_floats(frad: bytes, bits: int, little_endian: bool,
     LIB.frad_unpack_floats(frad, n, bits, int(little_endian),
                            out.ctypes.data_as(ctypes.c_void_p), nthreads)
     return out
+
+
+def pack_floats_maxabs(mat: np.ndarray, bits: int, little_endian: bool,
+                       nthreads: int = 2) -> tuple[bytes, np.ndarray]:
+    """Fused `pack_floats` + per-row max|x| over an [rows, cols] f64
+    matrix: one pass instead of a maxabs scan followed by a pack scan.
+    Returns (packed bytes, maxabs [rows]). Caller must gate bits != 12
+    and re-pack if any row's max escalates past the container float."""
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    rows, cols = mat.shape
+    out = np.empty(rows * cols * (bits // 8), dtype=np.uint8)
+    maxabs = np.empty(rows, dtype=np.float64)
+    LIB.frad_pack_floats_maxabs(
+        mat.ctypes.data_as(ctypes.c_void_p), rows, cols, bits,
+        int(little_endian), out.ctypes.data_as(ctypes.c_void_p),
+        maxabs.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out.tobytes(), maxabs
 
 
 def maxabs_rows(mat: np.ndarray, nthreads: int = 2) -> np.ndarray:

@@ -1088,6 +1088,56 @@ void frad_pack_floats(const double* in, size_t n, int bits, int little,
 // pass instead of numpy's two (max + -min) full-matrix reductions.
 // ---------------------------------------------------------------------------
 
+// Fused per-row pack + max|x|: one read of the matrix instead of a
+// maxabs pass followed by a pack pass (profile 4's encode is nothing but
+// these two passes, so the second read shows directly on the clock).
+// The caller verifies afterwards that no row escaped the container range
+// (bit-depth escalation, reference profile0.py:24-26) and re-packs the
+// rare escalated batch on the split path.
+struct PackMaxCtx {
+    const double* in;
+    uint8_t* out;
+    double* maxabs;
+    size_t cols;
+    int bits, little;
+};
+
+static void pack_max_span(size_t lo, size_t hi, void* vctx) {
+    PackMaxCtx* c = (PackMaxCtx*)vctx;
+    size_t bpv = (size_t)c->bits / 8;          // bytes per stored value
+    for (size_t r = lo; r < hi; r++) {
+        const double* p = c->in + r * c->cols;
+        double m = 0.0;
+        for (size_t j = 0; j < c->cols; j++) {
+            double a = std::fabs(p[j]);
+            if (a > m) m = a;
+        }
+        c->maxabs[r] = m;
+        frad_pack_floats(p, c->cols, c->bits, c->little,
+                         c->out + r * c->cols * bpv, 1);
+    }
+}
+
+void frad_pack_floats_maxabs(const double* in, size_t rows, size_t cols,
+                             int bits, int little, uint8_t* out,
+                             double* maxabs, int nthreads) {
+    PackMaxCtx ctx = {in, out, maxabs, cols, bits, little};
+    if (rows * cols < (size_t)1 << 16) nthreads = 1;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || rows < (size_t)nthreads) {
+        pack_max_span(0, rows, &ctx);
+        return;
+    }
+    std::vector<std::thread> ts;
+    size_t per = (rows + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        size_t lo = per * t, hi = lo + per < rows ? lo + per : rows;
+        if (lo >= hi) break;
+        ts.emplace_back(pack_max_span, lo, hi, &ctx);
+    }
+    for (auto& th : ts) th.join();
+}
+
 struct MaxAbsCtx { const double* in; double* out; size_t cols; };
 
 static void maxabs_span(size_t lo, size_t hi, void* vctx) {

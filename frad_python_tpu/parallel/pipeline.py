@@ -567,10 +567,19 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                         arr.astype(compute_dtype) if compute_dtype else arr))
         else:  # profile 4
             coeffs = arr
+        base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
+        fused_blob: bytes | None = None
         with _stage("enc:maxabs"):
             if coeffs.size:
                 flat = coeffs.reshape(len(frs), -1)
-                if coeffs.dtype == np.float64 and native.has("frad_maxabs_rows"):
+                if (coeffs.dtype == np.float64 and base_bits != 12
+                        and native.has("frad_pack_floats_maxabs")):
+                    # one fused pass: pack at the target depth AND record
+                    # each row's max (the escalation probe). The blob is
+                    # used as-is below unless a row escalated (rare).
+                    fused_blob, maxabs = native.pack_floats_maxabs(
+                        flat, base_bits, little_endian)
+                elif coeffs.dtype == np.float64 and native.has("frad_maxabs_rows"):
                     maxabs = native.maxabs_rows(flat)
                 else:
                     # max(|x|) as max/-min (no |x| temporary: profile 4 is
@@ -578,8 +587,6 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     maxabs = np.maximum(flat.max(axis=1), -flat.min(axis=1))
             else:
                 maxabs = np.zeros(len(frs))
-
-        base_bits = bit_depth if bit_depth in packing.DEPTHS else 16
         if profile == 0 and coeffs.dtype != np.float64 and any(
                 profile0._escalates_deep(float(m), base_bits) for m in maxabs):
             # escalation crossed into a deeper-than-f32 container (possibly
@@ -589,6 +596,10 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 coeffs = np.asarray(batch.p0_encode_core(arr), dtype=np.float64)
             maxabs = np.max(np.abs(coeffs.reshape(len(frs), -1)), axis=1)
         depths = [packing.needed_depth(float(m), base_bits) for m in maxabs]
+        if fused_blob is not None and all(d == base_bits for d in depths):
+            return _BlobParts(fused_blob, len(fused_blob) // len(frs),
+                              packing.DEPTHS.index(base_bits), frs[0][1],
+                              len(frs))
         results: list[tuple[bytes, int, int] | None] = [None] * len(frs)
         # Group frames by escalated depth and pack each group as ONE numpy
         # pass (byte-aligned depths concatenate losslessly); 12-bit frames

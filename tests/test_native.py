@@ -259,3 +259,25 @@ def test_frame_parse_batch_matches_python_parser():
         finally:
             nat._missing = missing
         assert got == want, f"stream {i} diverged"
+
+
+@pytest.mark.skipif(not native.has("frad_maxabs_rows"),
+                    reason="stale .so without maxabs")
+def test_maxabs_rows_parity():
+    m = rng.standard_normal((129, 333)) * 100
+    np.testing.assert_allclose(native.maxabs_rows(m), np.abs(m).max(axis=1))
+
+
+@pytest.mark.skipif(not native.has("frad_pack_floats_maxabs"),
+                    reason="stale .so without fused pack")
+def test_pack_floats_maxabs_parity():
+    """Fused pack + per-row max must match pack_floats byte-for-byte
+    (it feeds _BlobParts directly in the lossless encode path)."""
+    from frad_python_tpu.ops import packing
+
+    for bits in (16, 24, 32, 48, 64):
+        for little in (False, True):
+            m = rng.standard_normal((37, 512))
+            blob, mx = native.pack_floats_maxabs(m, bits, little)
+            assert blob == packing.pack_floats(m.reshape(-1), bits, little)
+            np.testing.assert_allclose(mx, np.abs(m).max(axis=1))
