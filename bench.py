@@ -109,6 +109,11 @@ def probe_link(size: int = 8 << 20, parts: int = 8) -> dict:
 #: window than the 2048-frame configs to land >= 3 steady-state passes
 BUDGET_S = {"hires_96k_8ch": 150.0}
 
+#: the headline config gets extra passes: its median IS the recorded
+#: metric, and the tunnel's multi-second stalls need more samples to
+#: reject than the per-config default of 5
+MIN_PASSES = {"p1_stereo_44k1": 9}
+
 CONFIGS = {
     "p4_mono_44k1": dict(profile=4, srate=44100, channels=1, bits=16, frame_size=2048),
     "p0_stereo_44k1": dict(profile=0, srate=44100, channels=2, bits=24, frame_size=2048),
@@ -167,7 +172,8 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     budget = time.perf_counter() + BUDGET_S.get(name, 75.0)
     # the tunnel stalls randomly for seconds at a time; a 5-pass median
     # (when the budget allows) is much more stable than a 3-pass one
-    while (enc_t + dec_t < min_wall or len(pass_fps) < 5) \
+    min_passes = MIN_PASSES.get(name, 5)
+    while (enc_t + dec_t < min_wall or len(pass_fps) < min_passes) \
             and (time.perf_counter() < budget or not pass_fps):
         t0 = time.perf_counter()
         stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
@@ -240,7 +246,15 @@ def annotate_link(name: str, acct: dict, link: dict) -> None:
     acct["link_floor_s_per_pass"] = round(floor, 3)
     acct["pct_of_link_floor"] = round(
         100 * floor / max(acct["wall_s_per_pass"], 1e-9), 1)
-    acct["bound"] = ("transport-capped" if acct["pct_of_link_floor"] >= 70
+    # the probe ceiling drifts (the tunnel's bandwidth swings hour to
+    # hour), so ALSO classify by what was observed during the config
+    # itself: the share of wall spent blocked on transfers
+    blocked = acct["h2d_blocked_s_per_pass"] + acct["d2h_blocked_s_per_pass"]
+    acct["blocked_share_of_wall"] = round(
+        100 * blocked / max(acct["wall_s_per_pass"], 1e-9), 1)
+    acct["bound"] = ("transport-capped"
+                     if (acct["pct_of_link_floor"] >= 70
+                         or acct["blocked_share_of_wall"] >= 60)
                      else "host/compute-capped")
     print(f"    {name} link: {acct['h2d_MB_per_pass']:.1f} MB h2d + "
           f"{acct['d2h_MB_per_pass']:.1f} MB d2h /pass; floor {floor:.3f}s "

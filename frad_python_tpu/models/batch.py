@@ -412,9 +412,11 @@ def p2_decode_core(freqs_flat, thres_flat, lpc_flat, srate: int,
         thres_flat, lpc_flat = z(thres_flat), z(lpc_flat)
     thres_flat, _ = place_rows(thres_flat)
     lpc_flat, _ = place_rows(lpc_flat)
-    _, inv = _mats_like(freqs_flat.shape[1], freqs_flat.dtype, freqs_flat)
+    # int16 symbol uploads compute in f32 (the in-graph cast is exact)
+    cdt = jnp.float32 if freqs_flat.dtype == jnp.int16 else freqs_flat.dtype
+    _, inv = _mats_like(freqs_flat.shape[1], cdt, freqs_flat)
     return _unpad(_p2_decode_jit(freqs_flat, thres_flat, lpc_flat, srate,
-                                 jnp.asarray(factor, freqs_flat.dtype), inv),
+                                 jnp.asarray(factor, cdt), inv),
                   pad)
 
 
@@ -424,6 +426,9 @@ def _p2_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
                    inv) -> jax.Array:
     from ..ops import tns_jax
 
+    if freqs_flat.dtype == jnp.int16:
+        # i16 symbol upload: exact cast back to f32 (see p1_decode_oa_core)
+        freqs_flat = freqs_flat.astype(jnp.float32)
     n = freqs_flat.shape[1]
     masked = jnp.swapaxes(freqs_flat, 1, 2)
     thres_c = jnp.swapaxes(thres_flat, 1, 2)

@@ -1046,6 +1046,10 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     fq = fq.astype(compute_dtype)
                     tq = tq.astype(compute_dtype)
                     lq = lq.astype(compute_dtype)
+            if (compute_dtype == "float32" and fq.dtype == np.float32
+                    and float(np.abs(fq).max(initial=0.0)) <= 32767.0):
+                # same int16 symbol upload as the P1 path (exact cast)
+                fq = fq.astype(np.int16)
         with _stage("dec:core"):
             _meter("h2d", fq.nbytes + tq.nbytes + lq.nbytes)
             frames = _fetch(batch.p2_decode_core(fq, tq, lq, h0.srate, factor))
