@@ -159,6 +159,12 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     # warm-up (compile)
     stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
                           cfg["frame_size"], **kw)
+    if cfg["profile"] == 1:
+        # the EGR capacity predictor learns its word-fetch bucket from
+        # the first pass; encode once more so the learned-capacity
+        # program's jit lands here, not in timed pass 0
+        stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                              cfg["frame_size"], **kw)
     dec_kw = dict(fix_error=bool(cfg.get("ecc")), compute_dtype=compute_dtype,
                   i16_transfer=cfg["profile"] == 1,
                   i24_transfer=cfg["profile"] == 0 and cfg["bits"] == 24)
