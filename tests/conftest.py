@@ -19,3 +19,17 @@ jax.config.update("jax_enable_x64", True)
 from frad_python_tpu.utils import hostmem  # noqa: E402
 
 hostmem.tune()
+
+# Build the native module when absent (it is a gitignored build artifact)
+# so the native-parity tests run instead of skipping; the toolchain-less
+# fallback keeps the suite green either way.
+from frad_python_tpu import native  # noqa: E402
+
+if not native.available() and not os.environ.get("FRAD_TPU_NO_NATIVE"):
+    try:
+        from frad_python_tpu.native import build as _native_build
+
+        _native_build.build()
+        native.reload()
+    except Exception:
+        pass
