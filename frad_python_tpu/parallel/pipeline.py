@@ -107,6 +107,50 @@ def _egr_compact_packer(max_words: int, cap: int):
     return jax.jit(pack)
 
 
+@functools.lru_cache(maxsize=32)
+def _p1_enc_egr_fused(srate: int, b: int, max_words: int, cap: int, nsl: int):
+    """ONE jitted program for the whole P1 encode tensor domain:
+    i16 PCM -> DCT/mask/quant core -> EGR bit-pack -> word compaction ->
+    pre-split d2h slices.
+
+    The unfused path (core jit, packer jit, splitter jit) pays three
+    tunnel dispatches per batch; each is tens of ms of Python dispatch +
+    round-trip before the first d2h byte moves. Fusing them means the
+    meta and every flat slice are queued for copy right behind a single
+    dispatch. Returns (meta u32 [b, 3+tqcols], slice tuple, words
+    [b, max_words] — kept on device for the undershoot refetch — and fq
+    for the rare per-row overflow fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import batch as _batch
+
+    def run(frames_i16, loss_level, factor, fwd):
+        fq, tq = _batch._p1_encode_i16_jit.__wrapped__(
+            frames_i16, srate, loss_level, factor, fwd)
+        fq = fq[:b]          # drop place_rows' shard-padding rows
+        tq = tq[:b]
+        m = fq.shape[1] * fq.shape[2]
+        words, nbits, ks, ovf = bitpack.egr_pack_frames(
+            fq.reshape(b, m), max_words)
+        meta = jnp.concatenate(
+            [nbits[:, None].astype(jnp.int32), ks[:, None].astype(jnp.int32),
+             ovf[:, None].astype(jnp.int32),
+             tq.reshape(b, -1).astype(jnp.int32)], axis=1)
+        used = jnp.where(ovf, 0, (nbits + 31) // 32).astype(jnp.int32)
+        offs = jnp.cumsum(used) - used
+        j = jnp.arange(max_words, dtype=jnp.int32)
+        idx = jnp.where(j[None, :] < used[:, None],
+                        offs[:, None] + j[None, :], cap)
+        flat = jnp.zeros(cap, words.dtype).at[idx.ravel()].set(
+            words.ravel(), mode="drop")
+        bounds = [cap * i // nsl for i in range(nsl + 1)]
+        slices = tuple(flat[bounds[i]:bounds[i + 1]] for i in range(nsl))
+        return jax.lax.bitcast_convert_type(meta, jnp.uint32), slices, words, fq
+
+    return jax.jit(run)
+
+
 #: (symbols, tq_cols, max_words) -> flat word capacity to allocate next
 #: time — the EGR stage's capacity predictor (see _egr_compact_packer)
 _WFETCH: dict[tuple[int, int, int], int] = {}
@@ -163,10 +207,19 @@ def _fetch(arr, parts: int = 8) -> np.ndarray:
     return np.concatenate([np.asarray(c) for c in chunks])
 
 
-def _spans(rows: int, nbytes: int, target: int = 8 << 20,
-           max_parts: int = 8) -> list[tuple[int, int]]:
+#: chunked-pipeline geometry (module-level so tools/ab_geometry.py can
+#: A/B alternate settings inside one process — single runs can't be
+#: compared through the tunnel's weather)
+SPAN_TARGET = 2 << 20
+SPAN_MAX_PARTS = 8
+
+
+def _spans(rows: int, nbytes: int, target: int | None = None,
+           max_parts: int | None = None) -> list[tuple[int, int]]:
     """Row spans for the chunked transfer pipeline: ~`target`-byte chunks,
     at most `max_parts` (more chunks => more per-dispatch latency)."""
+    target = SPAN_TARGET if target is None else target
+    max_parts = SPAN_MAX_PARTS if max_parts is None else max_parts
     parts = max(1, min(max_parts, nbytes // target, rows))
     bounds = [rows * i // parts for i in range(parts + 1)]
     return [(bounds[i], bounds[i + 1]) for i in range(parts)]
@@ -335,22 +388,6 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 arr = pad
             factor = profile1._scale_factor(bit_depth if bit_depth in profile1.DEPTHS else 16)
             bits = bit_depth if bit_depth in profile1.DEPTHS else 16
-            with _stage("enc:core"):
-                if i16_upload and compute_dtype == "float32":
-                    # 2 B/sample over the h2d link (-96 dB floor, far
-                    # below the lossy profile's masking noise)
-                    if native.has("frad_f64_to_i16"):
-                        arr_t = native.f64_to_i16(arr)
-                    else:
-                        arr_t = np.clip(np.rint(arr * 32768.0),
-                                        -32768, 32767).astype(np.int16)
-                    fq, tq = batch.p1_encode_core_i16(
-                        _put_concurrent(arr_t), srate_v, ll, factor)
-                else:
-                    if compute_dtype:
-                        arr = arr.astype(compute_dtype)
-                    _meter("h2d", arr.nbytes)
-                    fq, tq = batch.p1_encode_core(arr, srate_v, ll, factor)
             bdi = profile1.DEPTHS.index(bits)
 
             # On-device EGR bit-pack (bits <= 24 keeps symbols < 2^23, the
@@ -361,25 +398,78 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
             # the batch-max width; meta (nbits/k/overflow/thresholds)
             # rides in a concurrent transfer — no latency-bound sizing
             # round trip.
-            if bits <= 24 and len(frs) > 1:
+            device_egr = bits <= 24 and len(frs) > 1
+            fused = device_egr and i16_upload and compute_dtype == "float32"
+            if device_egr:
+                from ..ops import psycho
+
                 b = len(frs)
-                m = fq.shape[1] * fq.shape[2]
+                m = arr.shape[1] * channels
                 max_words = max(m * 12 // 32, 16)
-                mcols = 3 + tq.shape[1] * tq.shape[2]
+                mcols = 3 + psycho.SUBBANDS * channels
                 pkey = (m, mcols, max_words)
                 # capacity predictor: total words the batch's streams need
                 # (8 bits/symbol first guess; relearned from each batch)
                 cap = _WFETCH.get(pkey,
                                   _bucket_words(b * m // 4, b * max_words))
                 nsl = 8 if b >= 16 else 1
+
+            if fused:
+                # i16 fast path: PCM -> core -> EGR pack -> compaction ->
+                # pre-split slices, ALL as one jitted program — one tunnel
+                # dispatch where the unfused path pays three, and every
+                # d2h byte is queued right behind it
+                import jax.numpy as jnp
+
+                with _stage("enc:core"):
+                    if native.has("frad_f64_to_i16"):
+                        arr_t = native.f64_to_i16(arr)
+                    else:
+                        arr_t = np.clip(np.rint(arr * 32768.0),
+                                        -32768, 32767).astype(np.int16)
+                    if batch.data_sharding(b) is None:
+                        placed = _put_concurrent(arr_t)
+                    else:
+                        placed = batch.place_rows(arr_t)[0]
+                    fwd, _ = batch._mats_like(placed.shape[1], jnp.float32,
+                                              placed)
                 with _stage("enc:egr-pack"):
-                    meta_d, flat_d, words_d = _egr_compact_packer(
-                        max_words, cap)(fq.reshape(b, m), tq)
+                    meta_d, slices, words_d, fq = _p1_enc_egr_fused(
+                        srate_v, b, max_words, cap, nsl)(
+                            placed, jnp.asarray(ll, jnp.float32),
+                            jnp.asarray(factor, jnp.float32), fwd)
                     meta_d.copy_to_host_async()
-                    slices = _splitter(nsl)(flat_d) if nsl > 1 else (flat_d,)
                     for c in slices:
                         c.copy_to_host_async()
-                _meter("d2h", meta_d.nbytes + flat_d.nbytes)
+                _meter("d2h", meta_d.nbytes + cap * 4)
+            else:
+                with _stage("enc:core"):
+                    if i16_upload and compute_dtype == "float32":
+                        # 2 B/sample over the h2d link (-96 dB floor, far
+                        # below the lossy profile's masking noise)
+                        if native.has("frad_f64_to_i16"):
+                            arr_t = native.f64_to_i16(arr)
+                        else:
+                            arr_t = np.clip(np.rint(arr * 32768.0),
+                                            -32768, 32767).astype(np.int16)
+                        fq, tq = batch.p1_encode_core_i16(
+                            _put_concurrent(arr_t), srate_v, ll, factor)
+                    else:
+                        if compute_dtype:
+                            arr = arr.astype(compute_dtype)
+                        _meter("h2d", arr.nbytes)
+                        fq, tq = batch.p1_encode_core(arr, srate_v, ll, factor)
+                if device_egr:
+                    with _stage("enc:egr-pack"):
+                        meta_d, flat_d, words_d = _egr_compact_packer(
+                            max_words, cap)(fq.reshape(b, m), tq)
+                        meta_d.copy_to_host_async()
+                        slices = _splitter(nsl)(flat_d) if nsl > 1 else (flat_d,)
+                        for c in slices:
+                            c.copy_to_host_async()
+                    _meter("d2h", meta_d.nbytes + flat_d.nbytes)
+
+            if device_egr:
 
                 with _stage("enc:d2h"):
                     meta = np.asarray(meta_d).view(np.int32)
@@ -461,8 +551,15 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     with _stage("enc:pack"):
                         results = [f.result() for f in futures]
                 # predict the next batch's capacity: observed total plus
-                # 1/8 headroom, bucketed
-                _WFETCH[pkey] = _bucket_words(total * 9 // 8, b * max_words)
+                # 1/8 headroom, bucketed. Hysteresis: grow immediately
+                # (an undershoot costs a padded refetch) but only shrink
+                # once the slack exceeds 2x — each distinct cap is a
+                # separate XLA compile of the packer, and content-driven
+                # flutter would otherwise recompile mid-stream for a few
+                # hundred KB of fetch slack.
+                need = _bucket_words(total * 9 // 8, b * max_words)
+                if need > cap or need * 2 < cap:
+                    _WFETCH[pkey] = need
                 return results
 
             fq = np.asarray(fq)
@@ -512,8 +609,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 import jax
 
                 use_i24 = i24_upload and base_bits == 24
-                spans = _spans(len(frs), arr.nbytes // (3 if use_i24 else 2),
-                               target=2 << 20)
+                spans = _spans(len(frs), arr.nbytes // (3 if use_i24 else 2))
 
                 def upload(s0: int, s1: int):
                     blk = arr[s0:s1]
@@ -884,7 +980,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
         # ~2 MB spans: the P1 tensors are small next to the P0 payloads,
         # but overlapping their h2d/compute/d2h still hides the shorter
         # leg of the transfer chain behind the longer one
-        spans = _spans(run, fq.nbytes + out_bytes, target=2 << 20) \
+        spans = _spans(run, fq.nbytes + out_bytes) \
             if run >= 32 else [(0, run)]
         if len(spans) > 1:
             # chunked full-duplex decode: span k+1's h2d upload and span
@@ -907,15 +1003,22 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     od.copy_to_host_async()
                     fd.copy_to_host_async()
                     outs.append((od, fd))
+            def fetch_conv_p1(od, fd):
+                # per-chunk: wait the (pre-queued) async copy, then run
+                # the GIL-releasing i16->f64 conversion — chunk k converts
+                # while chunk k+1's bytes are still on the wire
+                return (conv(np.asarray(od)).reshape(-1, ch),
+                        np.asarray(fd, dtype=np.float64))
+
             with _stage("dec:d2h"):
                 _meter("d2h", sum(od.nbytes + fd.nbytes for od, fd in outs))
-                parts = [(np.asarray(od), np.asarray(fd, dtype=np.float64))
-                         for od, fd in outs]
+                parts = [f.result() for f in
+                         [_pool().submit(fetch_conv_p1, od, fd)
+                          for od, fd in outs]]
             with _stage("dec:host-conv"):
                 chunks_out: list[np.ndarray] = []
                 prev_frag: np.ndarray | None = None
                 for out_h, fr in parts:
-                    out_h = conv(out_h).reshape(-1, ch)
                     if prev_frag is not None and olap:
                         out_h = np.concatenate(
                             [_frag_head(out_h, prev_frag), out_h[olap:]])
@@ -950,7 +1053,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
             with _stage("dec:unpack"):
                 words = np.frombuffer(b"".join(ps), dtype=wdt).reshape(run, -1)
             i24 = bool(i24_transfer and bits == 24)
-            spans = _spans(run, words.nbytes, target=2 << 20)
+            spans = _spans(run, words.nbytes)
 
             def upload(s0: int, s1: int):
                 _meter("h2d", words[s0:s1].nbytes)

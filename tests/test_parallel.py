@@ -335,6 +335,49 @@ class TestI16SymbolUpload:
         assert snr > 60  # f32-vs-f64 transform noise only
 
 
+class TestQuantisedUploads:
+    """The bench TPU path quantises the h2d PCM transfer (i16 lossy /
+    i24 lossless) and fuses the P1 i16 encode with the on-device EGR
+    pack into one jitted program (pipeline._p1_enc_egr_fused). On the
+    8-device CPU mesh this also exercises the fused program SPMD."""
+
+    def test_p1_i16_upload_fused_matches_unfused(self):
+        from frad_python_tpu import native
+
+        pcm = rng.standard_normal((44100 * 2, 2)) * 0.4
+        fused = batch_encode(pcm, 1, 44100, 16, 2048,
+                             compute_dtype="float32", i16_upload=True)
+        # the unfused path over the same i16-quantised samples runs the
+        # identical traced math (i16/32768 is exact in f32) — the fused
+        # single-dispatch program must be byte-identical
+        if native.has("frad_f64_to_i16"):
+            q = native.f64_to_i16(pcm)
+        else:
+            q = np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        unfused = batch_encode(q.astype(np.float64) / 32768.0, 1, 44100, 16,
+                               2048, compute_dtype="float32")
+        assert fused == unfused
+        out, _ = batch_decode(fused, compute_dtype="float32",
+                              i16_transfer=True)
+        m = min(len(out), len(pcm))
+        err = out[:m] - pcm[:m]
+        snr = 10 * np.log10(np.sum(pcm[:m] ** 2) / max(np.sum(err ** 2), 1e-30))
+        assert snr > 10  # lossy profile at loss_level default
+
+    def test_p0_i24_upload_roundtrip_noise_floor(self):
+        pcm = np.clip(rng.standard_normal((44100, 2)) * 0.3, -0.97, 0.97)
+        stream = batch_encode(pcm, 0, 44100, 24, 2048,
+                              compute_dtype="float32", i24_upload=True)
+        out, _ = batch_decode(stream, compute_dtype="float32",
+                              i24_transfer=True)
+        m = min(len(out), len(pcm))
+        err = out[:m] - pcm[:m]
+        snr = 10 * np.log10(np.sum(pcm[:m] ** 2) / max(np.sum(err ** 2), 1e-30))
+        # f32 transform noise dominates (~-98 dB, matching the reference's
+        # own 24-bit storage floor); the i24 transfer floor sits at -138 dB
+        assert snr > 90
+
+
 class TestChannelSharding:
     """SURVEY §2 N3: the per-channel transform chain shards over a 2-D
     (data, channel) mesh with zero communication."""

@@ -47,6 +47,11 @@ dec_kw = dict(fix_error=bool(cfg.get("ecc")), compute_dtype=compute_dtype,
 # warm-up
 stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
                       cfg["frame_size"], **kw)
+if cfg["profile"] == 1:
+    # second warm pass so the learned-capacity EGR program's jit lands
+    # here, not in timed pass 0 (mirrors bench.run_config)
+    stream = batch_encode(pcm, cfg["profile"], cfg["srate"], cfg["bits"],
+                          cfg["frame_size"], **kw)
 out, _ = batch_decode(stream, **dec_kw)
 nframes = stream.count(b"\xff\xd0\xd2\x98")
 print(f"{name}: {nframes} frames, stream {len(stream)/1e6:.1f} MB, "
