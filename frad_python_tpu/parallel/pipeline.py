@@ -647,8 +647,11 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                    for wd, _ in outs]
                         words = np.concatenate([f.result() for f in fetches])
                     bdi = packing.DEPTHS.index(base_bits)
-                    return [(words[i].tobytes(), bdi, frs[i][1])
-                            for i in range(len(frs))]
+                    # one joined blob instead of B per-frame tobytes()
+                    # copies — the native framer slices by offset
+                    return _BlobParts(words.tobytes(),
+                                      words.shape[1] * words.itemsize,
+                                      bdi, frs[0][1], len(frs))
             with _stage("enc:core"):
                 if base_bits >= policy.DEEP_BITS:
                     # deep containers (48/64-bit) exceed f32 precision:
