@@ -148,6 +148,29 @@ class TestEgrFetchPredictor:
         # and the predictor re-learned a sane width from the refetch run
         assert all(v > pipeline._WBUCKET for v in relearned.values())
 
+    def test_capacity_hysteresis_is_stable_across_passes(self):
+        """The learned word capacity keys a (heavy) jitted program; small
+        content-driven flutter must NOT change it between passes — only
+        undershoot (grow) or >2x slack (shrink) may."""
+        from frad_python_tpu.parallel import pipeline
+
+        pcm = rng.standard_normal((9999, 2)) * 0.4
+        saved = dict(pipeline._WFETCH)
+        try:
+            pipeline._WFETCH.clear()
+            batch_encode(pcm, 1, 48000, 16, 2048)           # learn
+            learned = dict(pipeline._WFETCH)
+            batch_encode(pcm, 1, 48000, 16, 2048)           # same content
+            assert pipeline._WFETCH == learned              # no flutter
+            # much smaller need (quiet content) within 2x slack: capacity
+            # must hold; far below half: it may shrink
+            batch_encode(pcm * 1e-4, 1, 48000, 16, 2048)
+            for k in learned:
+                assert pipeline._WFETCH[k] <= learned[k]
+        finally:
+            pipeline._WFETCH.clear()
+            pipeline._WFETCH.update(saved)
+
 
 class TestBatchRepair:
     """batch_repair must be byte-identical to the streaming Repairer."""
