@@ -414,6 +414,14 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                   _bucket_words(b * m // 4, b * max_words))
                 nsl = 8 if b >= 16 else 1
 
+            def to_i16(a: np.ndarray) -> np.ndarray:
+                # 2 B/sample over the h2d link (-96 dB floor, far below
+                # the lossy profile's masking noise)
+                if native.has("frad_f64_to_i16"):
+                    return native.f64_to_i16(a)
+                return np.clip(np.rint(a * 32768.0),
+                               -32768, 32767).astype(np.int16)
+
             if fused:
                 # i16 fast path: PCM -> core -> EGR pack -> compaction ->
                 # pre-split slices, ALL as one jitted program — one tunnel
@@ -422,11 +430,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                 import jax.numpy as jnp
 
                 with _stage("enc:core"):
-                    if native.has("frad_f64_to_i16"):
-                        arr_t = native.f64_to_i16(arr)
-                    else:
-                        arr_t = np.clip(np.rint(arr * 32768.0),
-                                        -32768, 32767).astype(np.int16)
+                    arr_t = to_i16(arr)
                     if batch.data_sharding(b) is None:
                         placed = _put_concurrent(arr_t)
                     else:
@@ -445,15 +449,8 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
             else:
                 with _stage("enc:core"):
                     if i16_upload and compute_dtype == "float32":
-                        # 2 B/sample over the h2d link (-96 dB floor, far
-                        # below the lossy profile's masking noise)
-                        if native.has("frad_f64_to_i16"):
-                            arr_t = native.f64_to_i16(arr)
-                        else:
-                            arr_t = np.clip(np.rint(arr * 32768.0),
-                                            -32768, 32767).astype(np.int16)
                         fq, tq = batch.p1_encode_core_i16(
-                            _put_concurrent(arr_t), srate_v, ll, factor)
+                            _put_concurrent(to_i16(arr)), srate_v, ll, factor)
                     else:
                         if compute_dtype:
                             arr = arr.astype(compute_dtype)
