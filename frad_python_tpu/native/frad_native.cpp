@@ -10,6 +10,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstddef>
+#include <cstdlib>
 #include <cstring>
 
 #include <atomic>
@@ -254,19 +255,64 @@ static const uint8_t* gen_poly(int nsym) {
     return gen_cache[nsym];
 }
 
+// Feedback-multiple table per generator: T[fb*nsym + j] = fb * g[j+1].
+// Turns the LFSR inner loop from nsym log/exp lookups per input byte
+// into one contiguous row XOR (vectorised at -O3) — the encode is the
+// hot half of every ECC armor / repair re-armor pass. Keyed by nsym
+// (the generator is unique per nsym at fixed fcr/prim); built lazily
+// under an atomic CAS since the framer runs threaded.
+static std::atomic<uint8_t*> fb_cache[256];
+
+static const uint8_t* fb_table(size_t nsym) {
+    uint8_t* t = fb_cache[nsym].load(std::memory_order_acquire);
+    if (t) return t;
+    const uint8_t* g = gen_poly((int)nsym);
+    uint8_t* fresh = (uint8_t*)calloc(256 * nsym, 1);
+    for (int fb = 1; fb < 256; fb++) {
+        int lf = gf_log[fb];
+        for (size_t j = 0; j < nsym; j++)
+            fresh[(size_t)fb * nsym + j] =
+                g[j + 1] ? gf_exp[lf + gf_log[g[j + 1]]] : 0;
+    }
+    uint8_t* expect = nullptr;
+    if (!fb_cache[nsym].compare_exchange_strong(expect, fresh)) {
+        free(fresh);        // another thread won with identical content
+        return expect;
+    }
+    return fresh;
+}
+
 static void rs_encode_one(const uint8_t* msg, size_t dsize, size_t nsym,
                           const uint8_t* g, uint8_t* rem) {
-    memset(rem, 0, nsym);
-    for (size_t i = 0; i < dsize; i++) {
-        uint8_t fb = msg[i] ^ rem[0];
-        memmove(rem, rem + 1, nsym - 1);
-        rem[nsym - 1] = 0;
-        if (fb) {
-            int lf = gf_log[fb];
-            for (size_t j = 0; j < nsym; j++)
-                if (g[j + 1]) rem[j] ^= gf_exp[lf + gf_log[g[j + 1]]];
-        }
+    (void)g;                // table is resolved per nsym (generator is
+    const uint8_t* fbt = fb_table(nsym);   // unique at fixed fcr/prim)
+    // synthetic division in a sliding scratch window: no per-byte
+    // register shift, just a forward row XOR the compiler vectorises
+    uint8_t stack_buf[768];                // dsize, nsym are u8 in the
+    uint8_t* buf = stack_buf;              // wire format; guard anyway
+    std::vector<uint8_t> heap_buf;
+    if (dsize + nsym > sizeof stack_buf) {
+        heap_buf.resize(dsize + nsym);
+        buf = heap_buf.data();
     }
+    memcpy(buf, msg, dsize);
+    memset(buf + dsize, 0, nsym);
+    for (size_t i = 0; i < dsize; i++) {
+        uint8_t fb = buf[i];
+        if (!fb) continue;
+        const uint8_t* row = fbt + (size_t)fb * nsym;
+        uint8_t* dst = buf + i + 1;
+        size_t j = 0;
+        for (; j + 8 <= nsym; j += 8) {      // unaligned u64 XOR lanes
+            uint64_t a, b;
+            memcpy(&a, dst + j, 8);
+            memcpy(&b, row + j, 8);
+            a ^= b;
+            memcpy(dst + j, &a, 8);
+        }
+        for (; j < nsym; j++) dst[j] ^= row[j];
+    }
+    memcpy(rem, buf + dsize, nsym);
 }
 
 void frad_rs_encode_blocks(const uint8_t* data, size_t nblocks, size_t dsize,
@@ -316,12 +362,36 @@ static int bm_locator(const uint8_t* synd, int nsym, uint8_t* loc_out) {
     return deg;
 }
 
+// Multiply-by-alpha^j tables for Horner syndrome evaluation: 256 B per
+// syndrome index, built lazily per nsym (same CAS pattern as fb_table).
+// Turns the inner step into one L1 table load + XOR instead of a
+// branchy log/exp multiply.
+static std::atomic<uint8_t*> synd_cache[256];
+
+static const uint8_t* synd_table(size_t nsym) {
+    uint8_t* t = synd_cache[nsym].load(std::memory_order_acquire);
+    if (t) return t;
+    uint8_t* fresh = (uint8_t*)calloc(256 * nsym, 1);
+    for (size_t j = 0; j < nsym; j++) {
+        uint8_t aj = gpow2((int)j);
+        for (int v = 1; v < 256; v++)
+            fresh[j * 256 + v] = gmul((uint8_t)v, aj);
+    }
+    uint8_t* expect = nullptr;
+    if (!synd_cache[nsym].compare_exchange_strong(expect, fresh)) {
+        free(fresh);
+        return expect;
+    }
+    return fresh;
+}
+
 static bool rs_synd(const uint8_t* c, size_t blen, size_t nsym, uint8_t* synd) {
+    const uint8_t* tab = synd_table(nsym);
     bool clean = true;
     for (size_t j = 0; j < nsym; j++) {
+        const uint8_t* mul_aj = tab + j * 256;
         uint8_t s = 0;
-        uint8_t aj = gpow2((int)j);
-        for (size_t i = 0; i < blen; i++) s = gmul(s, aj) ^ c[i];
+        for (size_t i = 0; i < blen; i++) s = mul_aj[s] ^ c[i];
         synd[j] = s;
         if (s) clean = false;
     }
