@@ -343,8 +343,18 @@ def main() -> None:
     compute_dtype = "float32" if backend == "tpu" else None
     print(f"backend={backend} compute_dtype={compute_dtype}", file=sys.stderr)
 
+    # optional config-name filter (argv): re-measure a subset and merge
+    # the results into the existing BENCH_DETAIL.json
+    only = set(sys.argv[1:])
+    unknown = only - set(CONFIGS) - set(REPAIR_CONFIGS)
+    if unknown:
+        sys.exit(f"unknown config(s): {sorted(unknown)}")
+    configs = {k: v for k, v in CONFIGS.items() if not only or k in only}
+    repair_configs = {k: v for k, v in REPAIR_CONFIGS.items()
+                      if not only or k in only}
+
     link = None
-    if backend != "cpu":
+    if backend != "cpu" and configs:
         link = probe_link_watchdog()
 
     baseline, ref_snr = {}, {}
@@ -355,7 +365,7 @@ def main() -> None:
         ref_snr = {k: v["snr_db"] for k, v in ref.items() if "snr_db" in v}
 
     detail = {}
-    for name, cfg in CONFIGS.items():
+    for name, cfg in configs.items():
         try:
             res = run_config(name, cfg, compute_dtype, link)
         except Exception as e:  # keep the bench alive; report the failure
@@ -382,7 +392,7 @@ def main() -> None:
               + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
               file=sys.stderr)
 
-    for name, cfg in REPAIR_CONFIGS.items():
+    for name, cfg in repair_configs.items():
         try:
             res = run_repair_config(name, cfg, compute_dtype)
         except Exception as e:
@@ -397,7 +407,7 @@ def main() -> None:
               + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
               file=sys.stderr)
 
-    if link is None and backend != "cpu":
+    if link is None and backend != "cpu" and configs:
         # early probe stalled: the device has been proven live by the
         # configs themselves — probe again so the floor fields land
         link = probe_link_watchdog(timeout_s=180.0)
@@ -406,10 +416,20 @@ def main() -> None:
                 if "link" in res:
                     annotate_link(name, res["link"], link)
 
-    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(
-        {"backend": backend, "compute_dtype": compute_dtype,
-         "link_ceiling": link, "results": detail},
-        indent=2))
+    out_path = REPO / "BENCH_DETAIL.json"
+    if only and out_path.exists():
+        # subset re-measure: update only the run configs in place
+        full = json.loads(out_path.read_text())
+        full["results"].update(detail)
+        if link:
+            full["link_ceiling"] = link
+        out_path.write_text(json.dumps(full, indent=2))
+        detail = full["results"]
+    else:
+        out_path.write_text(json.dumps(
+            {"backend": backend, "compute_dtype": compute_dtype,
+             "link_ceiling": link, "results": detail},
+            indent=2))
 
     head = detail.get(HEADLINE, {})
     value = head.get("frames_per_s", 0.0)
