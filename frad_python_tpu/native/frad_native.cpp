@@ -955,6 +955,7 @@ void frad_frame_pack_batch(
     if (!gf_init_done) gf_init();
     const uint8_t* gen = (ecc && ecc_codesize > 0) ? gen_poly(ecc_codesize)
                                                    : nullptr;
+    if (gen) fb_table(ecc_codesize);  // warm before threads
     std::atomic<int64_t> next(0);
     FramePackCtx ctx = {payloads, offsets, nframes, bdis, fsizes, fsize_idx,
                         profile, is_compact, channels, srate, srate_idx,
@@ -1044,7 +1045,11 @@ void frad_unarmor_batch(
         int fix_error, uint8_t* out, const int64_t* out_offsets,
         uint8_t* ok, int nthreads) {
     if (!gf_init_done) gf_init();
-    if (csize > 0) gen_poly(csize);   // warm cache before threads
+    if (csize > 0) {                  // warm caches before threads
+        gen_poly(csize);
+        fb_table(csize);
+        synd_table(csize);
+    }
     std::atomic<int64_t> next(0);
     UnarmorCtx ctx = {payloads, offsets, nframes, dsize, csize, crcs,
                       crc_is16, fix_error, out, out_offsets, ok, &next};
