@@ -63,6 +63,33 @@ def test_rs_native_equals_numpy():
     assert not ok[9] and not fixed[9].any()
 
 
+@pytest.mark.parametrize("dsize,nsym", [
+    (96, 1), (96, 5), (96, 7),      # < one u64 lane: pure tail loop
+    (96, 8), (96, 15), (96, 32),    # exact lane / lane+tail mixes
+    (600, 200),                     # dsize+nsym > the stack scratch bound
+])
+def test_rs_table_kernels_match_numpy_all_widths(dsize, nsym):
+    """The table-driven encode XORs feedback rows in u64 lanes with a
+    byte tail, and falls back to a heap scratch for oversized blocks —
+    every width class must match the numpy GF oracle bit for bit."""
+    data = rng.integers(0, 256, size=(8, dsize), dtype=np.uint8)
+    par_nat = native.rs_encode_blocks(data, nsym)
+    lib = native.LIB
+    try:
+        native.LIB = None
+        par_np = rs.encode_blocks(data, nsym)
+    finally:
+        native.LIB = lib
+    np.testing.assert_array_equal(par_nat, par_np)
+
+    if nsym >= 2:
+        cw = np.concatenate([data, par_nat], axis=1)
+        cw[3, dsize // 2] ^= 0xC3
+        fixed, ok = native.rs_decode_blocks(cw, nsym)
+        assert ok.all()
+        np.testing.assert_array_equal(fixed, data)
+
+
 # ---------------------------------------------------------------------------
 # Round-2 entry points: transfer-format converters + batched lossy unpack
 # ---------------------------------------------------------------------------
