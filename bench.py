@@ -418,9 +418,13 @@ def main() -> None:
 
     out_path = REPO / "BENCH_DETAIL.json"
     if only and out_path.exists():
-        # subset re-measure: update only the run configs in place
+        # subset re-measure: update only the run configs in place; the
+        # run-wide labels must describe THIS run, not the stored one —
+        # a subset run on a different backend must not mislabel results
         full = json.loads(out_path.read_text())
         full["results"].update(detail)
+        full["backend"] = backend
+        full["compute_dtype"] = compute_dtype
         if link:
             full["link_ceiling"] = link
         out_path.write_text(json.dumps(full, indent=2))

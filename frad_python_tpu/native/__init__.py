@@ -154,6 +154,8 @@ def egr_decode(dbytes: bytes) -> np.ndarray:
 
 def rs_encode_blocks(data: np.ndarray, nsym: int) -> np.ndarray:
     nblocks, dsize = data.shape
+    from ..ops.rs import check_code_params
+    check_code_params(dsize, nsym)   # guards the C statics indexed by nsym
     data = np.ascontiguousarray(data, dtype=np.uint8)
     parity = np.empty((nblocks, nsym), dtype=np.uint8)
     LIB.frad_rs_encode_blocks(
@@ -404,6 +406,8 @@ def maxabs_rows(mat: np.ndarray, nthreads: int = 2) -> np.ndarray:
 
 def rs_decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndarray]:
     nblocks, blen = codewords.shape
+    from ..ops.rs import check_code_params
+    check_code_params(blen - nsym, nsym)  # guards the C statics indexed by nsym
     cw = np.ascontiguousarray(codewords, dtype=np.uint8).copy()
     ok = np.empty(nblocks, dtype=np.uint8)
     LIB.frad_rs_decode_blocks(

@@ -268,6 +268,7 @@ static const uint8_t* fb_table(size_t nsym) {
     if (t) return t;
     const uint8_t* g = gen_poly((int)nsym);
     uint8_t* fresh = (uint8_t*)calloc(256 * nsym, 1);
+    if (!fresh) return nullptr;   // caller falls back to the log/exp loop
     for (int fb = 1; fb < 256; fb++) {
         int lf = gf_log[fb];
         for (size_t j = 0; j < nsym; j++)
@@ -284,8 +285,7 @@ static const uint8_t* fb_table(size_t nsym) {
 
 static void rs_encode_one(const uint8_t* msg, size_t dsize, size_t nsym,
                           const uint8_t* g, uint8_t* rem) {
-    (void)g;                // table is resolved per nsym (generator is
-    const uint8_t* fbt = fb_table(nsym);   // unique at fixed fcr/prim)
+    const uint8_t* fbt = fb_table(nsym);   // generator unique at fixed
     // synthetic division in a sliding scratch window: no per-byte
     // register shift, just a forward row XOR the compiler vectorises
     uint8_t stack_buf[768];                // dsize, nsym are u8 in the
@@ -300,17 +300,23 @@ static void rs_encode_one(const uint8_t* msg, size_t dsize, size_t nsym,
     for (size_t i = 0; i < dsize; i++) {
         uint8_t fb = buf[i];
         if (!fb) continue;
-        const uint8_t* row = fbt + (size_t)fb * nsym;
         uint8_t* dst = buf + i + 1;
-        size_t j = 0;
-        for (; j + 8 <= nsym; j += 8) {      // unaligned u64 XOR lanes
-            uint64_t a, b;
-            memcpy(&a, dst + j, 8);
-            memcpy(&b, row + j, 8);
-            a ^= b;
-            memcpy(dst + j, &a, 8);
+        if (fbt) {
+            const uint8_t* row = fbt + (size_t)fb * nsym;
+            size_t j = 0;
+            for (; j + 8 <= nsym; j += 8) {  // unaligned u64 XOR lanes
+                uint64_t a, b;
+                memcpy(&a, dst + j, 8);
+                memcpy(&b, row + j, 8);
+                a ^= b;
+                memcpy(dst + j, &a, 8);
+            }
+            for (; j < nsym; j++) dst[j] ^= row[j];
+        } else {                             // table alloc failed: log/exp
+            int lf = gf_log[fb];
+            for (size_t j = 0; j < nsym; j++)
+                if (g[j + 1]) dst[j] ^= gf_exp[lf + gf_log[g[j + 1]]];
         }
-        for (; j < nsym; j++) dst[j] ^= row[j];
     }
     memcpy(rem, buf + dsize, nsym);
 }
@@ -318,6 +324,10 @@ static void rs_encode_one(const uint8_t* msg, size_t dsize, size_t nsym,
 void frad_rs_encode_blocks(const uint8_t* data, size_t nblocks, size_t dsize,
                            size_t nsym, uint8_t* parity) {
     if (nsym == 0) return;
+    if (nsym > 255) {    // would index past the [256] static caches
+        memset(parity, 0, nblocks * nsym);
+        return;
+    }
     if (!gf_init_done) gf_init();
     const uint8_t* g = gen_poly((int)nsym);
     for (size_t b = 0; b < nblocks; b++)
@@ -372,6 +382,7 @@ static const uint8_t* synd_table(size_t nsym) {
     uint8_t* t = synd_cache[nsym].load(std::memory_order_acquire);
     if (t) return t;
     uint8_t* fresh = (uint8_t*)calloc(256 * nsym, 1);
+    if (!fresh) return nullptr;   // caller falls back to the log/exp loop
     for (size_t j = 0; j < nsym; j++) {
         uint8_t aj = gpow2((int)j);
         for (int v = 1; v < 256; v++)
@@ -389,9 +400,14 @@ static bool rs_synd(const uint8_t* c, size_t blen, size_t nsym, uint8_t* synd) {
     const uint8_t* tab = synd_table(nsym);
     bool clean = true;
     for (size_t j = 0; j < nsym; j++) {
-        const uint8_t* mul_aj = tab + j * 256;
         uint8_t s = 0;
-        for (size_t i = 0; i < blen; i++) s = mul_aj[s] ^ c[i];
+        if (tab) {
+            const uint8_t* mul_aj = tab + j * 256;
+            for (size_t i = 0; i < blen; i++) s = mul_aj[s] ^ c[i];
+        } else {                             // table alloc failed: log/exp
+            uint8_t aj = gpow2((int)j);
+            for (size_t i = 0; i < blen; i++) s = gmul(s, aj) ^ c[i];
+        }
         synd[j] = s;
         if (s) clean = false;
     }
@@ -456,6 +472,11 @@ static bool rs_decode_one(uint8_t* c, size_t blen, size_t nsym) {
 void frad_rs_decode_blocks(uint8_t* cw, size_t nblocks, size_t blen,
                            size_t nsym, uint8_t* ok) {
     if (nsym == 0) { memset(ok, 1, nblocks); return; }
+    if (nsym > 255 || blen < nsym) {  // would index past the [256] statics
+        memset(ok, 0, nblocks);
+        memset(cw, 0, nblocks * blen);
+        return;
+    }
     if (!gf_init_done) gf_init();
     for (size_t b = 0; b < nblocks; b++)
         ok[b] = rs_decode_one(cw + b * blen, blen, nsym) ? 1 : 0;

@@ -27,6 +27,33 @@ import numpy as np
 
 _PRIM = 0x11D
 
+#: GF(2^8) codewords hold at most 2^8 - 1 symbols. The reference's
+#: reedsolo transparently grows the field (GF(2^16)) past this
+#: (reference src/libfrad/tools/ecc.py:6-12), but the FrAD wire format
+#: cannot express such ratios (the encoder gate at encoder.py:268 and
+#: reference encoder.py:203-208 both clamp dsize+codesize to 255), so
+#: this library rejects them loudly instead of failing quietly.
+MAX_CODEWORD = 255
+
+
+def check_code_params(dsize: int, nsym: int) -> None:
+    """Reject RS parameters GF(256) cannot honor.
+
+    Raises ValueError when dsize + nsym exceeds 255: beyond that,
+    Chien error positions alias mod 255 and the code silently loses
+    its correction guarantee. The FrAD container never produces such
+    ratios (encoder.set_ecc falls back to (96, 24)); this guard is
+    for direct library API callers.
+    """
+    if nsym < 0:
+        raise ValueError(f"RS parity size must be >= 0, got {nsym}")
+    if dsize + nsym > MAX_CODEWORD:
+        raise ValueError(
+            f"RS(dsize={dsize}, nsym={nsym}) needs a {dsize + nsym}-symbol "
+            f"codeword; GF(256) codewords are limited to {MAX_CODEWORD} "
+            "symbols and the FrAD wire format cannot express larger ratios "
+            "(use dsize + nsym <= 255)")
+
 _EXP = np.zeros(512, dtype=np.uint8)
 _LOG = np.zeros(256, dtype=np.int32)
 _x = 1
@@ -77,6 +104,7 @@ def encode_blocks(data: np.ndarray, nsym: int) -> np.ndarray:
     """[nblocks, dsize] uint8 -> [nblocks, nsym] parity, all blocks at once."""
     if nsym <= 0:
         return np.zeros((data.shape[0], 0), dtype=np.uint8)
+    check_code_params(data.shape[1], nsym)
     from .. import native
     if native.available():
         return native.rs_encode_blocks(data, nsym)
@@ -206,6 +234,8 @@ def decode_blocks(codewords: np.ndarray, nsym: int) -> tuple[np.ndarray, np.ndar
     """
     if nsym <= 0:
         return codewords.copy(), np.ones(codewords.shape[0], dtype=bool)
+    # a (possibly shortened) codeword still can't exceed 255 symbols
+    check_code_params(codewords.shape[1] - nsym, nsym)
     from .. import native
     if native.available():
         return native.rs_decode_blocks(codewords, nsym)

@@ -66,12 +66,12 @@ def test_rs_native_equals_numpy():
 @pytest.mark.parametrize("dsize,nsym", [
     (96, 1), (96, 5), (96, 7),      # < one u64 lane: pure tail loop
     (96, 8), (96, 15), (96, 32),    # exact lane / lane+tail mixes
-    (600, 200),                     # dsize+nsym > the stack scratch bound
+    (200, 55),                      # max-length GF(256) codeword (255)
 ])
 def test_rs_table_kernels_match_numpy_all_widths(dsize, nsym):
     """The table-driven encode XORs feedback rows in u64 lanes with a
-    byte tail, and falls back to a heap scratch for oversized blocks —
-    every width class must match the numpy GF oracle bit for bit."""
+    byte tail — every width class must match the numpy GF oracle bit
+    for bit, and a single error must round-trip at every valid width."""
     data = rng.integers(0, 256, size=(8, dsize), dtype=np.uint8)
     par_nat = native.rs_encode_blocks(data, nsym)
     lib = native.LIB
@@ -88,6 +88,41 @@ def test_rs_table_kernels_match_numpy_all_widths(dsize, nsym):
         fixed, ok = native.rs_decode_blocks(cw, nsym)
         assert ok.all()
         np.testing.assert_array_equal(fixed, data)
+
+
+def test_rs_rejects_codewords_beyond_gf256():
+    """dsize+nsym > 255 cannot be honored in GF(256) (Chien positions
+    alias mod 255) and the wire format can't express it — both the
+    native wrappers and the numpy path must reject it loudly instead
+    of silently emitting an uncorrectable code (reference reedsolo
+    would instead auto-extend the field, ecc.py:6-12)."""
+    data = rng.integers(0, 256, size=(4, 600), dtype=np.uint8)
+    with pytest.raises(ValueError, match="GF\\(256\\)"):
+        native.rs_encode_blocks(data, 200)
+    with pytest.raises(ValueError, match="GF\\(256\\)"):
+        rs.encode_blocks(data, 200)
+    cw = rng.integers(0, 256, size=(4, 800), dtype=np.uint8)
+    with pytest.raises(ValueError, match="GF\\(256\\)"):
+        native.rs_decode_blocks(cw, 200)
+    with pytest.raises(ValueError, match="GF\\(256\\)"):
+        rs.decode_blocks(cw, 200)
+    lib = native.LIB
+    try:
+        native.LIB = None
+        with pytest.raises(ValueError, match="GF\\(256\\)"):
+            rs.encode_blocks(data, 200)
+    finally:
+        native.LIB = lib
+
+
+def test_ecc_decode_survives_oversize_wire_ratio():
+    """A hand-crafted header can claim ecc ratios whose sum exceeds 255
+    (both fields are u8). The container decode must strip parity
+    best-effort, never raise mid-stream."""
+    from frad_python_tpu.container import ecc as ecc_mod
+    data = bytes(rng.integers(0, 256, 1200, dtype=np.uint8))
+    out = ecc_mod.decode(data, 255, 255, repair=True)
+    assert out == ecc_mod.decode(data, 255, 255, repair=False)
 
 
 # ---------------------------------------------------------------------------
