@@ -116,6 +116,45 @@ def sharded_p1_decode(mesh: Mesh, freqs: np.ndarray, thres: np.ndarray,
     return np.asarray(fn(f, t, jnp.asarray(factor, f.dtype), inv))
 
 
+def sharded_p2_encode(mesh: Mesh, frames: np.ndarray, srate: int,
+                      loss_level: float, factor: float):
+    """Data-parallel profile-2 encode core (P1 chain + TNS) over the mesh.
+
+    frames [B, N, C] with B % n_devices == 0. Returns host arrays
+    (freqs_q, thres_q, lpc_q) identical to the single-device
+    `batch.p2_encode_core` (reference profile2.py:21-51). The TNS
+    Levinson recursion and IIR scan are frame- and channel-local, so
+    the compiled program stays communication-free on both 1-D and 2-D
+    (data, channel) meshes.
+    """
+    spec = NamedSharding(mesh, _frame_spec(mesh))
+    f = jax.device_put(jnp.asarray(frames), spec)
+    fwd, _ = batch._mats(f.shape[1], f.dtype)
+    fn = jax.jit(
+        lambda fr, ll, fc, m: batch._p2_encode_jit.__wrapped__(fr, srate, ll, fc, m),
+        in_shardings=(spec, None, None, None),
+        out_shardings=(spec, spec, spec),
+    )
+    fq, tq, lq = fn(f, jnp.asarray(loss_level, f.dtype),
+                    jnp.asarray(factor, f.dtype), fwd)
+    return np.asarray(fq), np.asarray(tq), np.asarray(lq)
+
+
+def sharded_p2_decode(mesh: Mesh, freqs: np.ndarray, thres: np.ndarray,
+                      lpc: np.ndarray, srate: int, factor: float) -> np.ndarray:
+    """Inverse of `sharded_p2_encode` (reference profile2.py:58-91)."""
+    spec = NamedSharding(mesh, _frame_spec(mesh))
+    f = jax.device_put(jnp.asarray(freqs), spec)
+    t = jax.device_put(jnp.asarray(thres), spec)
+    lp = jax.device_put(jnp.asarray(lpc), spec)
+    _, inv = batch._mats(f.shape[1], f.dtype)
+    fn = jax.jit(
+        lambda fr, th, lq, fc, m: batch._p2_decode_jit.__wrapped__(
+            fr, th, lq, srate, fc, m),
+        in_shardings=(spec, spec, spec, None, None), out_shardings=spec)
+    return np.asarray(fn(f, t, lp, jnp.asarray(factor, f.dtype), inv))
+
+
 def overlap_add_sharded(mesh: Mesh, frames: np.ndarray, olap: int, cut: int
                         ) -> np.ndarray:
     """Decoder overlap-add with an explicit ICI halo exchange.

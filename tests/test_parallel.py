@@ -279,6 +279,27 @@ class TestShardedCores:
         # decoded floats carry last-ulp matmul reassociation noise
         np.testing.assert_allclose(got_pcm, want_pcm, atol=1e-12)
 
+    def test_p2_sharded_bit_exact(self):
+        from frad_python_tpu.parallel import sharded_p2_decode, sharded_p2_encode
+        frames = rng.standard_normal((8, 2048, 2)) * 0.4
+        factor = 2.0 ** 15
+        want_f, want_t, want_l = batch.p2_encode_core(frames, 48000, 0.5, factor)
+        got_f, got_t, got_l = sharded_p2_encode(self.mesh, frames, 48000, 0.5,
+                                                factor)
+        np.testing.assert_array_equal(got_f, np.asarray(want_f))
+        np.testing.assert_array_equal(got_t, np.asarray(want_t))
+        np.testing.assert_array_equal(got_l, np.asarray(want_l))
+
+        want_pcm = np.asarray(batch.p2_decode_core(
+            np.asarray(want_f, np.float64), np.asarray(want_t, np.float64),
+            np.asarray(want_l, np.float64), 48000, factor))
+        got_pcm = sharded_p2_decode(
+            self.mesh, np.asarray(got_f, np.float64),
+            np.asarray(got_t, np.float64), np.asarray(got_l, np.float64),
+            48000, factor)
+        # decoded floats carry last-ulp matmul reassociation noise
+        np.testing.assert_allclose(got_pcm, want_pcm, atol=1e-12)
+
     def test_overlap_add_halo_exchange(self):
         frames = rng.standard_normal((16, 512, 2))
         cut = 512 * 15 // 16
@@ -425,6 +446,17 @@ class TestChannelSharding:
                                    atol=1e-14, rtol=1e-13)
         back = sharded_p0_decode(self.mesh, got)
         np.testing.assert_allclose(back, frames, atol=1e-12)
+
+    def test_p2_encode_2d_mesh_bit_exact(self):
+        from frad_python_tpu.parallel import sharded_p2_encode
+        frames = rng.standard_normal((8, 2048, 2)) * 0.4
+        factor = 2.0 ** 15
+        want_f, want_t, want_l = batch.p2_encode_core(frames, 48000, 0.5, factor)
+        got_f, got_t, got_l = sharded_p2_encode(self.mesh, frames, 48000, 0.5,
+                                                factor)
+        np.testing.assert_array_equal(got_f, np.asarray(want_f))
+        np.testing.assert_array_equal(got_t, np.asarray(want_t))
+        np.testing.assert_array_equal(got_l, np.asarray(want_l))
 
     def test_overlap_add_2d_mesh_matches_sequential(self):
         frames = rng.standard_normal((8, 512, 4))
