@@ -26,6 +26,22 @@ if not os.environ.get("FRAD_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the batched cores compile one program
+# per (batch, frame, channel) shape, which on a remote-compile backend
+# costs tens of seconds each — paying that once per machine instead of
+# once per process is the difference between a usable and an unusable
+# CLI. Opt out with FRAD_TPU_NO_COMPILE_CACHE=1; an explicit
+# JAX_COMPILATION_CACHE_DIR (or prior jax.config setting) wins.
+if not os.environ.get("FRAD_TPU_NO_COMPILE_CACHE"):
+    import jax
+
+    if not jax.config.jax_compilation_cache_dir:
+        _cache = os.environ.get("XDG_CACHE_HOME",
+                                os.path.join(os.path.expanduser("~"), ".cache"))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_cache, "frad_python_tpu", "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from .container import head  # noqa: E402
 from .container.asfh import ASFH  # noqa: E402
 from .decoder import DecodeResult, Decoder  # noqa: E402

@@ -126,8 +126,12 @@ def encode(input_path: str, params: CliParams) -> None:
         _log(params.loglevel, info, True)
         return
 
+    # Deep reads let the engine micro-batch frames into one fused device
+    # dispatch (Encoder._micro_batch); pipes keep the reference's 32 KiB
+    # loop for interactive latency (reference src/encoder.py:64).
+    read_size = 32768 if rfile is sys.stdin.buffer else (8 << 20)
     while True:
-        buf = rfile.read(32768)
+        buf = rfile.read(read_size)
         if not buf:
             break
         res = encoder.process(buf)

@@ -132,6 +132,85 @@ class Encoder:
             return models.profile4.analogue(frame, self.bit_depth, self.srate, self.asfh.endian)
         return models.profile0.analogue(frame, self.bit_depth, self.srate, self.asfh.endian)
 
+    # micro-batch bucket sizes: power-of-2 shapes keep the jitted batch
+    # cores at a handful of compile cache entries over a whole stream
+    _MICRO_BATCH_MAX = 64
+
+    def _micro_batch(self, rlen: int) -> tuple[bytes, int] | None:
+        """Encode a run of full frames in ONE batched dispatch.
+
+        The streaming loop pays a full device dispatch per frame (B=1);
+        when the input buffer is deep enough for >= 2 complete frames
+        and the overlap state is on the standard carry grid, the frames
+        are delegated to `parallel.batch_encode(final=False)` — the
+        same fused cores the --turbo path uses, proven byte-exact vs
+        the per-frame path. Returns (stream_bytes, fresh_samples), or
+        None when the per-frame path must run (odd fragment state,
+        shallow buffer, flush).
+        """
+        profile = self.asfh.profile
+        is_compact = profile in COMPACT
+        ratio = self.asfh.overlap_ratio
+        olap_active = is_compact and ratio > 1
+        steady_frag = (rlen - rlen * (ratio - 1) // ratio) if olap_active else 0
+        frag = self.overlap_fragment
+        if len(frag) and (not olap_active or len(frag) != steady_frag
+                          or frag.shape[1] != self.channels):
+            return None        # off-grid fragment (mid-stream reconfig)
+        if not self.asfh.ecc and (self.asfh.ecc_dsize or self.asfh.ecc_codesize) \
+                and not is_compact:
+            # lossless headers carry the ratio bytes even with ECC off;
+            # the batch framer writes (0,0) there — keep per-frame
+            return None
+
+        bps = self.pcm_format.itemsize
+        row = self.channels * bps
+        fresh0 = rlen - len(frag)
+        steady_fresh = rlen - steady_frag
+        avail = len(self.buffer) // row
+        if avail < fresh0 + steady_fresh:
+            return None        # fewer than 2 complete frames buffered
+        k_avail = 1 + (avail - fresh0) // steady_fresh
+        k = 1
+        while k * 2 <= min(k_avail, self._MICRO_BATCH_MAX):
+            k *= 2
+        if k < 2:
+            return None
+
+        fresh_total = fresh0 + (k - 1) * steady_fresh
+        consume = fresh_total * row
+        pcm_bytes, self.buffer = self.buffer[:consume], self.buffer[consume:]
+        fresh = to_f64(np.frombuffer(pcm_bytes, self.pcm_format)
+                       .reshape(-1, self.channels), self.pcm_format)
+        span = np.concatenate([frag, fresh]) if len(frag) else fresh
+
+        from .parallel.pipeline import batch_encode
+        stream = batch_encode(
+            span, profile, self.srate, self.bit_depth, self.fsize,
+            loss_level=self.loss_level, enable_ecc=self.asfh.ecc,
+            ecc_ratio=(self.asfh.ecc_dsize, self.asfh.ecc_codesize),
+            little_endian=self.asfh.endian,
+            overlap_ratio=ratio if is_compact else 0,
+            final=False)
+
+        self.overlap_fragment = (span[len(span) - steady_frag:]
+                                 if olap_active
+                                 else np.empty((0, 0), dtype=np.float64))
+        self.asfh.channels = self.channels
+        self.asfh.fsize = rlen
+        self.asfh.srate = (compact.get_valid_srate(self.srate)
+                           if is_compact else self.srate)
+        if profile == 1:
+            self.asfh.bit_depth_index = models.profile1.DEPTHS.index(
+                self.bit_depth if self.bit_depth in models.profile1.DEPTHS else 16)
+        elif profile == 2:
+            self.asfh.bit_depth_index = models.profile2.DEPTHS.index(
+                self.bit_depth if self.bit_depth in models.profile2.DEPTHS else 16)
+        # lossless depth indexes are data-dependent (escalation) and only
+        # feed compact force-flush headers — the next per-frame write
+        # refreshes them
+        return stream, fresh_total
+
     def _inner(self, stream: bytes, flush: bool) -> EncodeResult:
         self.buffer += stream
         out: list[bytes] = []
@@ -143,6 +222,14 @@ class Encoder:
             rlen = self.fsize
             if self.asfh.profile in COMPACT:
                 rlen = compact.get_samples_min_ge(rlen)
+
+            if not flush:
+                mb = self._micro_batch(rlen)
+                if mb is not None:
+                    out.append(mb[0])
+                    samples += mb[1]
+                    continue
+
             overlap_read = min(len(self.overlap_fragment), rlen)
             rlen -= overlap_read
 

@@ -81,6 +81,53 @@ class TestStreamingEquivalence:
         got_stream = encode_all(Encoder(4, 44100, 2, 64, 512, "f64be"), raw, chunk=chunk)
         assert got_stream == ref_stream
 
+    @pytest.mark.parametrize("profile,bits,kw", [
+        (4, 64, dict()),
+        (0, 24, dict()),
+        (1, 16, dict(overlap=16)),
+        (1, 16, dict(overlap=16, ecc=True)),
+        (0, 24, dict(ecc=True)),
+        (1, 16, dict(overlap=0)),
+    ])
+    def test_deep_buffer_push_equals_per_frame(self, profile, bits, kw):
+        """A one-shot deep push triggers Encoder._micro_batch (batched
+        device dispatch); the stream must byte-equal the shallow-chunk
+        per-frame path for every profile/overlap/ECC combination."""
+        _, raw = make_pcm(seconds=1.0)
+        fsize = 960                      # off-grid: compact rounds to 1024
+
+        def build():
+            e = Encoder(profile, 44100, 2, bits, fsize, "f64be")
+            if "overlap" in kw:
+                e.set_overlap_ratio(kw["overlap"])
+            if kw.get("ecc"):
+                e.set_ecc(True, (96, 24))
+            return e
+
+        frame_bytes = 1024 * 2 * 8
+        ref = encode_all(build(), raw, chunk=frame_bytes // 2)  # < 1 frame/push
+        deep = build()
+        got = deep.process(raw).buf + deep.flush().buf
+        assert got == ref
+
+    def test_deep_push_resumes_per_frame_after_reconfig(self):
+        """Micro-batch must fall back cleanly when the overlap fragment
+        is off the standard carry grid (mid-stream frame-size change)."""
+        _, raw = make_pcm(seconds=0.6)
+        half = (len(raw) // 32) * 16
+
+        def run(chunk):
+            e = Encoder(1, 44100, 2, 16, 2048, "f64be")
+            e.set_overlap_ratio(16)
+            out = [e.process(raw[:half]).buf]
+            e.set_frame_size(512)        # fragment now off the 512 grid
+            for i in range(half, len(raw), chunk):
+                out.append(e.process(raw[i:i + chunk]).buf)
+            out.append(e.flush().buf)
+            return b"".join(out)
+
+        assert run(len(raw)) == run(4096)
+
     @pytest.mark.parametrize("chunk", [1, 17, 32768])
     def test_decoder_chunk_invariance(self, chunk):
         _, raw = make_pcm(seconds=0.05)
