@@ -112,7 +112,11 @@ BUDGET_S = {"hires_96k_8ch": 150.0}
 #: the headline config gets extra passes: its median IS the recorded
 #: metric, and the tunnel's multi-second stalls need more samples to
 #: reject than the per-config default of 5
-MIN_PASSES = {"p1_stereo_44k1": 9}
+MIN_PASSES = {"p1_stereo_44k1": 9,
+              # p0 sits within ~10% of the achievable link floor; its
+              # vs-baseline verdict flips on single tunnel stalls, so
+              # give the median more samples to reject them
+              "p0_stereo_44k1": 9}
 
 CONFIGS = {
     "p4_mono_44k1": dict(profile=4, srate=44100, channels=1, bits=16, frame_size=2048),
@@ -122,8 +126,11 @@ CONFIGS = {
     "hires_96k_8ch": dict(profile=0, srate=96000, channels=8, bits=24, frame_size=8192),
     "p1_stereo_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
                               frame_size=2048, ecc=True),
-    # archival deep depth: policy.deep_device routes the f64 transform to
-    # the host CPU on TPU rigs (TPU lacks f64) — measured, not hidden
+    # archival deep depths: 48-bit runs ON the TPU via the emulated-f64
+    # matmul DCT (policy.deep_on_device, ~2^-47 rel err <= 1 ulp of the
+    # container); 64-bit keeps the host-CPU f64 FFT (full f64 mantissa)
+    "p0_stereo_48b": dict(profile=0, srate=44100, channels=2, bits=48,
+                          frame_size=2048),
     "p0_stereo_64b": dict(profile=0, srate=44100, channels=2, bits=64,
                           frame_size=2048),
 }

@@ -21,10 +21,15 @@ from ..ops.dct import dct2_forward, idct2_forward
 DEPTHS = packing.DEPTHS
 
 
-def _forward(pcm: np.ndarray, dt: str) -> np.ndarray:
-    """Forward DCT at dtype `dt`; f64 runs on the CPU backend when the
-    default backend lacks native f64 (policy.deep_device)."""
+def _forward(pcm: np.ndarray, dt: str, bits: int = 0) -> np.ndarray:
+    """Forward DCT at dtype `dt`. f64 transforms run on-device as an
+    emulated-f64 matmul for the 48-bit container (policy.deep_on_device:
+    ~2^-47 relative error, within one ulp of the container's 36-bit
+    mantissa), and on the host CPU FFT otherwise (policy.deep_device)."""
     if dt == "float64":
+        if policy.deep_on_device(bits):
+            return np.asarray(dct2_forward(pcm, axis=0, force_matmul=True),
+                              dtype=np.float64)
         with policy.deep_device():
             return np.asarray(dct2_forward(pcm, axis=0), dtype=np.float64)
     return np.asarray(dct2_forward(pcm.astype(dt), axis=0), dtype=np.float64)
@@ -50,13 +55,16 @@ def analogue(pcm: np.ndarray, bits: int, srate: int, little_endian: bool) -> tup
     pcm = np.asarray(pcm, dtype=np.float64).reshape(-1, channels)
 
     dt = policy.transform_dtype(bits)
-    freqs = _forward(pcm, dt)
+    freqs = _forward(pcm, dt, bits)
 
     max_abs = float(np.max(np.abs(freqs))) if freqs.size else 0.0
     if dt != "float64" and _escalates_deep(max_abs, bits):
         # escalation crossed into a deeper-than-f32 container (possibly
-        # via f32 overflow -> inf): redo at archival precision
-        freqs = _forward(pcm, "float64")
+        # via f32 overflow -> inf): redo at archival precision. The
+        # 48-bit container shares f64's exponent range, so escalation
+        # can never continue past it — the 64-bit depth is reached only
+        # by explicit request, and always takes the host-f64 path.
+        freqs = _forward(pcm, "float64", policy.DEEP_BITS)
         max_abs = float(np.max(np.abs(freqs))) if freqs.size else 0.0
     bits = packing.needed_depth(max_abs, bits)
 
@@ -72,6 +80,9 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, little_endian: boo
     dt = policy.transform_dtype(bits)
     freqs = flat[:n].reshape(-1, channels).astype(dt)
     if dt == "float64":
+        if policy.deep_on_device(bits):
+            return np.asarray(idct2_forward(freqs, axis=0, force_matmul=True),
+                              dtype=np.float64)
         with policy.deep_device():
             return np.asarray(idct2_forward(freqs, axis=0), dtype=np.float64)
     return np.asarray(idct2_forward(freqs, axis=0), dtype=np.float64)

@@ -209,25 +209,37 @@ def _idct2_jit(y: jax.Array, mat, use_matmul: bool) -> jax.Array:
     return _idct2_impl(y, use_matmul, mat)
 
 
-def _mats_for(n: int, dtype) -> tuple[jax.Array | None, jax.Array | None]:
-    if not use_matmul(n, dtype):
+def _mats_for(n: int, dtype, force_matmul: bool = False
+              ) -> tuple[jax.Array | None, jax.Array | None]:
+    if not (force_matmul and n <= MATMUL_MAX_N) and not use_matmul(n, dtype):
         return None, None
     return device_matrices(n, str(jnp.dtype(dtype)))
 
 
-def dct2_forward(x, axis: int = -1):
-    """DCT-II with scipy norm='forward' over `axis`. Accepts np/jnp arrays."""
+def dct2_forward(x, axis: int = -1, force_matmul: bool = False):
+    """DCT-II with scipy norm='forward' over `axis`. Accepts np/jnp arrays.
+
+    `force_matmul=True` uses the matmul formulation even at f64 — the
+    on-accelerator archival path (ops/policy.deep_on_device): TPU has no
+    complex128 for the FFT formulation, and its emulated-f64 matmul
+    carries ~2^-47 relative error, within one ulp of the 48-bit
+    container.
+    """
     x = jnp.asarray(x)
     x = jnp.moveaxis(x, axis, -1)
-    fwd, _ = _mats_for(x.shape[-1], x.dtype)
-    out = _dct2_jit(x, fwd, use_matmul(x.shape[-1], x.dtype))
+    mm = use_matmul(x.shape[-1], x.dtype) or (
+        force_matmul and x.shape[-1] <= MATMUL_MAX_N)
+    fwd, _ = _mats_for(x.shape[-1], x.dtype, force_matmul)
+    out = _dct2_jit(x, fwd, mm)
     return jnp.moveaxis(out, -1, axis)
 
 
-def idct2_forward(y, axis: int = -1):
+def idct2_forward(y, axis: int = -1, force_matmul: bool = False):
     """Inverse DCT (scipy idct type-2, norm='forward') over `axis`."""
     y = jnp.asarray(y)
     y = jnp.moveaxis(y, axis, -1)
-    _, inv = _mats_for(y.shape[-1], y.dtype)
-    out = _idct2_jit(y, inv, use_matmul(y.shape[-1], y.dtype))
+    mm = use_matmul(y.shape[-1], y.dtype) or (
+        force_matmul and y.shape[-1] <= MATMUL_MAX_N)
+    _, inv = _mats_for(y.shape[-1], y.dtype, force_matmul)
+    out = _idct2_jit(y, inv, mm)
     return jnp.moveaxis(out, -1, axis)

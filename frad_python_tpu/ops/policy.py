@@ -46,6 +46,35 @@ def transform_dtype(bits: int) -> str:
     return "float64" if bits >= DEEP_BITS else compute_dtype()
 
 
+def deep_on_device(bits: int) -> bool:
+    """True when a `bits`-deep archival transform should run ON the
+    accelerator instead of the host CPU.
+
+    The 48-bit container keeps 36 mantissa bits; XLA:TPU's emulated f64
+    matmul measures ~6e-15 relative error (2^-47) — two orders below
+    one ulp of the container (2^-37) — so the 48-bit DCT runs on-chip
+    as an f64 matmul (the FFT formulation needs complex128, which TPU
+    lacks). The 64-bit container stores the full f64 mantissa, where
+    matmul accumulation noise would land above the container's
+    precision: it stays on the host CPU FFT path. Opt out with
+    FRAD_TPU_DEEP_ON_HOST=1 (restores the r3 behavior: all deep depths
+    on host).
+
+    Note on bit-identity: the on-device stream may differ from the
+    host-FFT stream in the rare coefficients that sit within transform
+    noise (<= 2^-47 relative) of a 36-bit truncation boundary — an
+    unavoidable property of ANY algorithm change at a truncating
+    container, bounded by one ulp of the container.
+    """
+    if bits != 48:
+        return False
+    if os.environ.get("FRAD_TPU_DEEP_ON_HOST"):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def deep_device():
     """Context manager placing jit execution on the CPU backend.
 

@@ -651,12 +651,22 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                       bdi, frs[0][1], len(frs))
             with _stage("enc:core"):
                 if base_bits >= policy.DEEP_BITS:
-                    # deep containers (48/64-bit) exceed f32 precision:
-                    # archival-exact f64 transform, on the CPU backend
-                    # when the default backend has no native f64
-                    with policy.deep_device():
-                        coeffs = np.asarray(batch.p0_encode_core(arr),
-                                            dtype=np.float64)
+                    if policy.deep_on_device(base_bits):
+                        # 48-bit archival ON the accelerator: emulated-f64
+                        # matmul DCT (~2^-47 rel error, one ulp of the
+                        # container's 36-bit mantissa)
+                        from ..ops import dct as dct_ops
+                        with _stage("enc:h2d"):
+                            dev = _put_concurrent(arr)
+                        coeffs = _fetch(dct_ops.dct2_forward(
+                            dev, axis=1, force_matmul=True)).astype(np.float64)
+                    else:
+                        # deep containers (48/64-bit) exceed f32 precision:
+                        # archival-exact f64 transform, on the CPU backend
+                        # when the default backend has no native f64
+                        with policy.deep_device():
+                            coeffs = np.asarray(batch.p0_encode_core(arr),
+                                                dtype=np.float64)
                 else:
                     _meter("h2d", arr.nbytes // (2 if compute_dtype == "float32" else 1))
                     coeffs = _fetch(batch.p0_encode_core(
@@ -1105,12 +1115,24 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
             if prof == 0:
                 if bits >= policy.DEEP_BITS:
-                    # archival depths decode with the f64 transform (CPU
-                    # backend when the default device lacks native f64)
-                    with _stage("dec:core"), policy.deep_device():
-                        frames = np.asarray(
-                            batch.p0_decode_core(coeffs.astype(np.float64)),
-                            dtype=np.float64)
+                    if policy.deep_on_device(bits):
+                        # 48-bit archival IDCT on the accelerator
+                        # (emulated-f64 matmul; see policy.deep_on_device)
+                        from ..ops import dct as dct_ops
+                        with _stage("dec:h2d"):
+                            dev = _put_concurrent(coeffs.astype(np.float64))
+                        with _stage("dec:core"):
+                            out_d = dct_ops.idct2_forward(
+                                dev, axis=1, force_matmul=True)
+                        with _stage("dec:d2h"):
+                            frames = _fetch(out_d).astype(np.float64)
+                    else:
+                        # archival depths decode with the f64 transform (CPU
+                        # backend when the default device lacks native f64)
+                        with _stage("dec:core"), policy.deep_device():
+                            frames = np.asarray(
+                                batch.p0_decode_core(coeffs.astype(np.float64)),
+                                dtype=np.float64)
                 else:
                     if compute_dtype:
                         coeffs = coeffs.astype(compute_dtype)

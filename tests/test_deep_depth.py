@@ -65,6 +65,78 @@ class TestStreamingDeepDepth:
         np.testing.assert_allclose(back, pcm, rtol=1e-9)
 
 
+class TestOnDeviceDeepPath:
+    """48-bit archival transform ON the accelerator (VERDICT r3 #4).
+
+    policy.deep_on_device routes the 48-bit f64 DCT to the device as a
+    matmul (no complex128 on TPU for the FFT form). These tests run the
+    SAME code path on the CPU rig: the forced-matmul f64 formulation vs
+    the host FFT must agree within one ulp of the 48-bit container
+    (36-bit mantissa), and the full stream round trip must hold
+    archival quality with the device branch patched active.
+    """
+
+    def test_forced_matmul_f64_within_one_ulp48(self):
+        from frad_python_tpu.ops import dct
+        x = rng.standard_normal((4, 2048, 2))
+        a = np.asarray(dct.dct2_forward(x, axis=1))            # f64 FFT
+        b = np.asarray(dct.dct2_forward(x, axis=1, force_matmul=True))
+        # 1 ulp of the 48-bit container = 2^-36 relative to the frame
+        # peak; the matmul path must sit well inside it
+        assert np.abs(a - b).max() / np.abs(a).max() < 2.0 ** -40
+        xa = np.asarray(dct.idct2_forward(a, axis=1))
+        xb = np.asarray(dct.idct2_forward(a, axis=1, force_matmul=True))
+        assert np.abs(xa - xb).max() / np.abs(xa).max() < 2.0 ** -40
+
+    @pytest.fixture
+    def device_deep(self, monkeypatch):
+        """Force the on-device 48-bit branch on the CPU rig."""
+        monkeypatch.setattr(policy, "deep_on_device",
+                            lambda bits: bits == 48)
+
+    def test_stream_roundtrip_with_device_branch(self, device_deep):
+        pcm = _pcm()
+        s_dev = batch_encode(pcm, 0, 44100, 48, 512)
+        out_dev, _ = batch_decode(s_dev)
+        # archival contract: ~217 dB SNR at the 48-bit container
+        err = out_dev - pcm[: len(out_dev)]
+        snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(err**2), 1e-300))
+        assert snr > 195
+
+        # vs the host path: every decoded sample within one ulp48 of peak
+        monkeypatch_off = policy.deep_on_device
+        try:
+            policy.deep_on_device = lambda bits: False
+            s_host = batch_encode(pcm, 0, 44100, 48, 512)
+            out_host, _ = batch_decode(s_host)
+        finally:
+            policy.deep_on_device = monkeypatch_off
+        np.testing.assert_allclose(
+            out_dev, out_host, atol=float(np.abs(pcm).max()) * 2.0 ** -35)
+
+    def test_streaming_engine_device_branch(self, device_deep):
+        from frad_python_tpu import Decoder, Encoder
+        pcm = _pcm(3, 512, 2)
+        enc = Encoder(0, 44100, 2, 48, 512, "f64be")
+        stream = enc.process(pcm.astype(">f8").tobytes()).buf + enc.flush().buf
+        d = Decoder()
+        out = np.concatenate([p for p in (d.process(stream).pcm,
+                                          d.flush().pcm) if p.size])
+        err = out - pcm[: len(out)]
+        snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(err**2), 1e-300))
+        assert snr > 195
+
+    def test_escalation_into_48_takes_device_branch(self, device_deep):
+        # f32 overflow escalates 32 -> 48; the redo lands on the device
+        # branch (48-bit) and must stay archival. Escalation can never
+        # continue past 48 (its container shares f64's exponent range).
+        pcm = np.full((512, 1), 1e39)
+        frad, bdi, *_ = profile0.analogue(pcm, 32, 44100, False)
+        assert profile0.DEPTHS[bdi] == 48
+        back = profile0.digital(frad, bdi, 1, False)
+        np.testing.assert_allclose(back, pcm, rtol=1e-9)
+
+
 class TestPipelineDeepDepth:
     @pytest.mark.parametrize("bits", [48, 64])
     def test_stream_identical_to_f64_pipeline(self, bits):

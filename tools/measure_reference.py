@@ -171,8 +171,11 @@ CONFIGS = {
     "p1_stereo_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
                               frame_size=2048, overlap_ratio=16, loss_level=0.5,
                               ecc=True),
-    # archival deep depth: the reference runs this through the same f64
-    # path as 24-bit (profile0.py:21); ours routes it to CPU f64 by policy
+    # archival deep depths: the reference runs these through the same f64
+    # path as 24-bit (profile0.py:21); ours routes 48-bit to the on-device
+    # emulated-f64 matmul on TPU and 64-bit to CPU f64 (ops/policy.py)
+    "p0_stereo_48b": dict(profile=0, srate=44100, channels=2, bits=48,
+                          frame_size=2048),
     "p0_stereo_64b": dict(profile=0, srate=44100, channels=2, bits=64,
                           frame_size=2048),
 }
