@@ -205,6 +205,15 @@ def trunc_pack(x: jax.Array, bits: int, little: bool = False) -> jax.Array:
     return _pack_byte_triples(u >> 8, msb_first=not little)
 
 
+# NOTE: a 48-bit on-device truncation pack (f64 -> 6-byte words, the
+# deep-container analog of `trunc_pack`) was tried and reverted: the
+# TPU's X64 rewrite implements f64 arithmetic but has NO f64<->int
+# bitcast, so the bit-exact truncation cannot run on-chip. The 48-bit
+# archival path keeps its device-side f64 matmul DCT and ships plain
+# f64 over the link; the 6-byte truncation happens in the threaded host
+# pack (native frad_pack_floats).
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "little"))
 def trunc_unpack(words: jax.Array, bits: int, little: bool = False) -> jax.Array:
     """Inverse of `trunc_pack`: packed words -> [B, M] f32 with NaN/Inf

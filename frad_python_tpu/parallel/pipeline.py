@@ -654,7 +654,10 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                     if policy.deep_on_device(base_bits):
                         # 48-bit archival ON the accelerator: emulated-f64
                         # matmul DCT (~2^-47 rel error, one ulp of the
-                        # container's 36-bit mantissa)
+                        # container's 36-bit mantissa). The transfer stays
+                        # plain f64 — the TPU's X64 rewrite has no u64
+                        # bitcast, so the 6-byte truncation happens in the
+                        # (fused, threaded) host pack below.
                         from ..ops import dct as dct_ops
                         with _stage("enc:h2d"):
                             dev = _put_concurrent(arr)
