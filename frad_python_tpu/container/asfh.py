@@ -101,6 +101,15 @@ class ASFH:
         """Value-copy of the criticality-relevant fields (channels, srate)."""
         return (self.channels, self.srate)
 
+    def copy(self) -> "ASFH":
+        """Value copy of every field (per-frame header snapshots for the
+        deferred batch decode; avoids the reference's aliasing class of
+        bug by construction)."""
+        c = ASFH()
+        for name in self.__slots__:
+            setattr(c, name, getattr(self, name))
+        return c
+
     # -- serialisation ------------------------------------------------------
     def write(self, frad: bytes) -> bytes:
         """Serialise a full frame: header + payload bytes."""

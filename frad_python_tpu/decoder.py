@@ -67,7 +67,8 @@ class Decoder:
     # ------------------------------------------------------------------
     # overlap-add crossfade (reference decoder.py:28-46, vectorised)
     # ------------------------------------------------------------------
-    def _overlap(self, frame: np.ndarray) -> np.ndarray:
+    def _overlap(self, frame: np.ndarray, a: ASFH | None = None) -> np.ndarray:
+        a = a if a is not None else self.asfh
         olap_len = len(self.overlap_fragment)
         if self.overlap_fragment.size:
             frame, consumed = crossfade(frame, self.overlap_fragment, self.overlap_prog)
@@ -76,14 +77,14 @@ class Decoder:
         if olap_len <= self.overlap_prog:
             self.overlap_fragment = np.empty((0, 0), dtype=np.float64)
             self.overlap_prog = 0
-            if self.asfh.profile in COMPACT and self.asfh.overlap_ratio != 0:
-                cut = len(frame) * (self.asfh.overlap_ratio - 1) // self.asfh.overlap_ratio
+            if a.profile in COMPACT and a.overlap_ratio != 0:
+                cut = len(frame) * (a.overlap_ratio - 1) // a.overlap_ratio
                 self.overlap_fragment, frame = frame[cut:], frame[:cut]
         return frame
 
     # ------------------------------------------------------------------
-    def _decode_frame_payload(self, frad: bytes) -> np.ndarray:
-        a = self.asfh
+    def _decode_frame_payload(self, frad: bytes, a: ASFH | None = None) -> np.ndarray:
+        a = a if a is not None else self.asfh
         if a.profile == 1:
             return models.profile1.digital(frad, a.bit_depth_index, a.channels, a.srate, a.fsize)
         if a.profile == 2:
@@ -92,10 +93,87 @@ class Decoder:
             return models.profile4.digital(frad, a.bit_depth_index, a.channels, a.endian)
         return models.profile0.digital(frad, a.bit_depth_index, a.channels, a.endian)
 
+    def _decode_one(self, a: ASFH, frad: bytes) -> np.ndarray:
+        """Per-frame path: ECC strip/repair + profile decode + crossfade."""
+        if a.ecc:
+            repair = self.fix_error and not a.payload_crc_matches(frad)
+            frad = ecc.decode(frad, a.ecc_dsize, a.ecc_codesize, repair)
+        try:
+            pcm = self._decode_frame_payload(frad, a)
+        except Exception:
+            # corrupt payload beyond repair: emit silence for the frame
+            pcm = np.zeros((a.fsize, max(a.channels, 1)))
+        return self._overlap(pcm, a)
+
+    def _drain_pending(self, hs: list[ASFH], ps: list[bytes],
+                       ret_pcm: list[np.ndarray]) -> None:
+        """Decode the deferred frames collected by `process`.
+
+        Runs of >= 2 frames with identical header configuration go to the
+        batched cores in ONE device dispatch (`pipeline._decode_run`, the
+        --turbo machinery, byte-exact with the per-frame path); anything
+        off the uniform grid — mid-crossfade fragments, mixed headers —
+        falls back to the per-frame loop.
+        """
+        if not hs:
+            return
+        use_batch = len(hs) >= 2 and self.overlap_prog == 0
+        if use_batch:
+            from .parallel import pipeline
+            key0 = pipeline._run_key(hs[0])
+            use_batch = all(pipeline._run_key(h) == key0 for h in hs[1:])
+        if use_batch:
+            h0 = hs[0]
+            n = h0.fsize
+            cut = (n * (h0.overlap_ratio - 1) // h0.overlap_ratio
+                   if h0.profile in COMPACT and h0.overlap_ratio > 1 else n)
+            frag = self.overlap_fragment
+            if frag.size and (len(frag) > cut
+                              or frag.shape[1] != h0.channels):
+                use_batch = False   # multi-frame progressive crossfade
+        if not use_batch:
+            for h, p in zip(hs, ps):
+                ret_pcm.append(self._decode_one(h, p))
+            return
+
+        from .ops import policy
+        from .parallel import pipeline
+        cdt = None if policy.compute_dtype() == "float64" \
+            else policy.compute_dtype()
+        try:
+            out, new_frag = pipeline._decode_run(
+                hs, ps, fix_error=self.fix_error, compute_dtype=cdt,
+                i16_transfer=False, i24_transfer=False)
+        except Exception:
+            # pathological payloads: the per-frame path has the
+            # zero-frame-and-continue semantics (reference
+            # profile1.py:59-64); never fail the whole push
+            for h, p in zip(hs, ps):
+                ret_pcm.append(self._decode_one(h, p))
+            return
+        frag = self.overlap_fragment
+        if frag.size and len(out):
+            ret_pcm.append(np.asarray(
+                pipeline._frag_head(out, frag), dtype=np.float64))
+            ret_pcm.append(np.asarray(out[len(frag):], dtype=np.float64))
+        else:
+            ret_pcm.append(np.asarray(out, dtype=np.float64))
+        self.overlap_fragment = np.asarray(new_frag, dtype=np.float64)
+        self.overlap_prog = 0
+
     def process(self, stream: bytes) -> DecodeResult:
         self.buffer += stream
         ret_pcm: list[np.ndarray] = []
         frames = 0
+        pend_h: list[ASFH] = []
+        pend_p: list[bytes] = []
+
+        def drain() -> None:
+            nonlocal frames
+            frames += len(pend_h)
+            self._drain_pending(pend_h, pend_p, ret_pcm)
+            pend_h.clear()
+            pend_p.clear()
 
         while True:
             if self.asfh.all_set:
@@ -107,18 +185,10 @@ class Decoder:
 
                 frad = self.buffer[:self.asfh.frmbytes]
                 self.buffer = self.buffer[self.asfh.frmbytes:]
-                if self.asfh.ecc:
-                    repair = self.fix_error and not self.asfh.payload_crc_matches(frad)
-                    frad = ecc.decode(frad, self.asfh.ecc_dsize, self.asfh.ecc_codesize, repair)
-
-                try:
-                    pcm = self._decode_frame_payload(frad)
-                except Exception:
-                    # corrupt payload beyond repair: emit silence for the frame
-                    pcm = np.zeros((self.asfh.fsize, max(self.asfh.channels, 1)))
-                pcm = self._overlap(pcm)
-                ret_pcm.append(pcm)
-                frames += 1
+                # defer the payload decode: consecutive frames batch into
+                # one device dispatch at drain points
+                pend_h.append(self.asfh.copy())
+                pend_p.append(frad)
                 self.asfh.clear()
             else:
                 if self.asfh.buffer[:len(FRM_SIGN)] != FRM_SIGN:
@@ -141,14 +211,17 @@ class Decoder:
                             # the pending frame decodes on the next push
                             # (the reference's flush() would clear it and
                             # lose one frame to resync)
+                            drain()
                             ret_pcm.append(self._flush_overlap())
                             return DecodeResult(ret_pcm, srate, frames, True)
                 elif status == FORCE_FLUSH:
+                    drain()
                     ret_pcm.append(self.flush().pcm)
                     break
                 else:  # INCOMPLETE
                     break
 
+        drain()
         return DecodeResult(ret_pcm, self.asfh.srate, frames, False)
 
     def _flush_overlap(self) -> np.ndarray:

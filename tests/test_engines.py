@@ -136,6 +136,56 @@ class TestStreamingEquivalence:
         got = decode_all(Decoder(), stream, chunk=chunk)
         np.testing.assert_array_equal(got, ref)
 
+    @pytest.mark.parametrize("profile,bits,kw", [
+        (4, 64, dict()),
+        (0, 24, dict()),
+        (1, 16, dict(overlap=16)),
+        (1, 16, dict(overlap=16, ecc=True)),
+        (0, 24, dict(ecc=True)),
+    ])
+    def test_decoder_deep_push_equals_per_frame(self, profile, bits, kw):
+        """A one-shot deep push hits Decoder._drain_pending's batched
+        branch; its PCM must bit-equal the strictly per-frame (1-byte
+        chunk) path. Intermediate chunk sizes form small batch groups
+        whose fused lossy core carries <= 1 ulp of f64 accumulation
+        noise — bounded, checked separately below."""
+        _, raw = make_pcm(seconds=0.6)
+        enc = Encoder(profile, 44100, 2, bits, 1024, "f64be")
+        if "overlap" in kw:
+            enc.set_overlap_ratio(kw["overlap"])
+        if kw.get("ecc"):
+            enc.set_ecc(True, (96, 24))
+        stream = encode_all(enc, raw)
+        ref = decode_all(Decoder(fix_error=True), stream, chunk=1)
+        deep = Decoder(fix_error=True)
+        got = np.concatenate([p for p in (deep.process(stream).pcm,
+                                          deep.flush().pcm) if p.size])
+        np.testing.assert_array_equal(got, ref)
+        # arbitrary intermediate chunking: bit-exact for lossless, and
+        # within 1 ulp of f64 for the lossy fused core
+        mid = decode_all(Decoder(fix_error=True), stream, chunk=1000)
+        if profile in (0, 4):
+            np.testing.assert_array_equal(mid, ref)
+        else:
+            np.testing.assert_allclose(mid, ref, atol=1e-16, rtol=1e-9)
+
+    def test_decoder_deep_push_with_corrupt_frame(self):
+        """The batched drain must preserve the zero-frame semantics for
+        a payload corrupted beyond repair, matching per-frame pushes."""
+        _, raw = make_pcm(seconds=0.4)
+        enc = Encoder(1, 44100, 2, 16, 1024, "f64be")
+        enc.set_overlap_ratio(16)
+        stream = bytearray(encode_all(enc, raw))
+        # flip payload bytes mid-file (past the 3rd frame header region)
+        for off in range(len(stream) // 2, len(stream) // 2 + 6):
+            stream[off] ^= 0x55
+        stream = bytes(stream)
+        ref = decode_all(Decoder(), stream, chunk=1)
+        deep = Decoder()
+        got = np.concatenate([p for p in (deep.process(stream).pcm,
+                                          deep.flush().pcm) if p.size])
+        np.testing.assert_array_equal(got, ref)
+
 
 class TestLossyRoundtrip:
     def test_profile1_snr_and_overlap(self):
