@@ -128,9 +128,17 @@ CONFIGS = {
                               frame_size=2048, ecc=True),
     # archival deep depths: 48-bit runs ON the TPU via the emulated-f64
     # matmul DCT (policy.deep_on_device, ~2^-47 rel err <= 1 ulp of the
-    # container); 64-bit keeps the host-CPU f64 FFT (full f64 mantissa)
+    # container); 64-bit keeps the host-CPU f64 FFT (full f64 mantissa).
+    # The _host sibling measures FRAD_TPU_DEEP_ON_HOST=1 — on a tunneled
+    # rig the archival f64 wire volume makes the host route the faster
+    # product configuration (on a PCIe-local chip the device route's
+    # floor is ~50x lower); both are measured so the crossover is an
+    # artifact, not a guess.
     "p0_stereo_48b": dict(profile=0, srate=44100, channels=2, bits=48,
                           frame_size=2048),
+    "p0_stereo_48b_host": dict(profile=0, srate=44100, channels=2, bits=48,
+                               frame_size=2048, baseline_as="p0_stereo_48b",
+                               env={"FRAD_TPU_DEEP_ON_HOST": "1"}),
     "p0_stereo_64b": dict(profile=0, srate=44100, channels=2, bits=64,
                           frame_size=2048),
 }
@@ -161,6 +169,20 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
     # the tunnel is effectively half-duplex — concurrent h2d+d2h
     # contend), so sequential is the default; the schedule and the A/B
     # harness stay for links where both directions are independent.
+    import contextlib
+    import os
+    import unittest.mock
+
+    env_ctx = (unittest.mock.patch.dict(os.environ, cfg["env"])
+               if cfg.get("env") else contextlib.nullcontext())
+    with env_ctx:
+        return _run_config_inner(name, cfg, compute_dtype, link, seconds,
+                                 min_wall, duplex)
+
+
+def _run_config_inner(name: str, cfg: dict, compute_dtype: str | None,
+                      link: dict | None, seconds: float, min_wall: float,
+                      duplex: bool) -> dict:
     pcm = make_audio(seconds, cfg["srate"], cfg["channels"])
     on_tpu = compute_dtype == "float32"
     kw = dict(loss_level=0.5, enable_ecc=bool(cfg.get("ecc")),
@@ -303,9 +325,10 @@ def run_config(name: str, cfg: dict, compute_dtype: str | None,
 
 def measure_core_fps(compute_dtype: str | None, b: int = 646,
                      n: int = 2048, ch: int = 2, srate: int = 44100,
-                     iters: int = 10) -> dict:
+                     iters: int = 30) -> dict:
     """Device-resident throughput of the fused P1 encode+decode cores on
-    the headline shape — no link traffic inside the timed region.
+    the headline shape — no link DATA traffic inside the timed region
+    (dispatch latency per call remains: a conservative lower bound).
 
     This is the per-chip COMPUTE capability the link-bound end-to-end
     number hides: emitted alongside the headline so a bad-tunnel round
@@ -323,6 +346,12 @@ def measure_core_fps(compute_dtype: str | None, b: int = 646,
     factor = jnp.asarray(2.0 ** 15, dt)
     fwd, inv = batch._mats_like(n, dt, frames)
 
+    # `iters` async dispatches, blocked once at the end: the wall still
+    # contains per-call dispatch latency (a remote-compile tunnel adds
+    # ~ms per call), so this is a LOWER bound on the chip's own rate —
+    # conservative by construction and robust to the environment
+    # (in-graph lax.scan variants were tried and either get eliminated
+    # by XLA or stall the remote compile helper).
     fq, tq = batch._p1_encode_jit(frames, srate, ll, factor, fwd)
     jax.block_until_ready((fq, tq))                       # compile + warm
     fqf, tqf = fq.astype(dt), tq.astype(dt)
@@ -489,11 +518,12 @@ def main() -> None:
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             detail[name] = {"error": str(e)}
             continue
-        ref = baseline.get(name)
+        bl_name = cfg.get("baseline_as", name)
+        ref = baseline.get(bl_name)
         res["vs_baseline"] = (res["frames_per_s"] / ref) if ref else None
-        if name in ref_snr:
-            res["ref_snr_db"] = ref_snr[name]
-            res["vs_ref_snr_db"] = round(res["snr_db"] - ref_snr[name], 3)
+        if bl_name in ref_snr:
+            res["ref_snr_db"] = ref_snr[bl_name]
+            res["vs_ref_snr_db"] = round(res["snr_db"] - ref_snr[bl_name], 3)
             if res["vs_ref_snr_db"] < -0.1:
                 res["snr_regression"] = True
                 print(f"  WARNING {name}: SNR {res['snr_db']:.2f} dB is "
@@ -502,8 +532,8 @@ def main() -> None:
                       file=sys.stderr)
         detail[name] = res
         snr_s = f"SNR {res['snr_db']:.1f} dB"
-        if name in ref_snr:
-            snr_s += f" (ref {ref_snr[name]:.1f})"
+        if bl_name in ref_snr:
+            snr_s += f" (ref {ref_snr[bl_name]:.1f})"
         print(f"{name}: {res['frames_per_s']:.0f} frames/s "
               f"({res['realtime_x']:.0f}x realtime, {snr_s}"
               + (f", {res['vs_baseline']:.1f}x reference)" if ref else ")"),
