@@ -146,8 +146,12 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
 
     decoder = Decoder(params.enable_ecc)
     no = 0
+    # deep reads let the decoder micro-batch frame drains into fused
+    # device dispatches (Decoder._drain_pending); playback and pipes
+    # keep the reference's 32 KiB loop for interactive latency
+    read_size = 32768 if (rpipe or play) else (8 << 20)
     while True:
-        buf = readfile.read(32768)
+        buf = readfile.read(read_size)
         if not buf and decoder.is_empty():
             break
         res = decoder.process(buf)

@@ -140,26 +140,43 @@ class Decoder:
         from .parallel import pipeline
         cdt = None if policy.compute_dtype() == "float64" \
             else policy.compute_dtype()
-        try:
-            out, new_frag = pipeline._decode_run(
-                hs, ps, fix_error=self.fix_error, compute_dtype=cdt,
-                i16_transfer=False, i24_transfer=False)
-        except Exception:
-            # pathological payloads: the per-frame path has the
-            # zero-frame-and-continue semantics (reference
-            # profile1.py:59-64); never fail the whole push
-            for h, p in zip(hs, ps):
-                ret_pcm.append(self._decode_one(h, p))
-            return
-        frag = self.overlap_fragment
-        if frag.size and len(out):
-            ret_pcm.append(np.asarray(
-                pipeline._frag_head(out, frag), dtype=np.float64))
-            ret_pcm.append(np.asarray(out[len(frag):], dtype=np.float64))
-        else:
-            ret_pcm.append(np.asarray(out, dtype=np.float64))
-        self.overlap_fragment = np.asarray(new_frag, dtype=np.float64)
-        self.overlap_prog = 0
+        # power-of-2 group sizes: an arbitrary pending count would
+        # compile a fresh device program per size (tens of seconds each
+        # on a remote-compile backend); buckets keep the compiled-shape
+        # set tiny and reusable, same as Encoder._micro_batch
+        idx = 0
+        total = len(hs)
+        while idx < total:
+            k = 1
+            while k * 2 <= min(total - idx, 256):
+                k *= 2
+            if k < 2:
+                ret_pcm.append(self._decode_one(hs[idx], ps[idx]))
+                idx += 1
+                continue
+            try:
+                out, new_frag = pipeline._decode_run(
+                    hs[idx: idx + k], ps[idx: idx + k],
+                    fix_error=self.fix_error, compute_dtype=cdt,
+                    i16_transfer=False, i24_transfer=False)
+            except Exception:
+                # pathological payloads: the per-frame path has the
+                # zero-frame-and-continue semantics (reference
+                # profile1.py:59-64); never fail the whole push
+                for j in range(idx, idx + k):
+                    ret_pcm.append(self._decode_one(hs[j], ps[j]))
+                idx += k
+                continue
+            frag = self.overlap_fragment
+            if frag.size and len(out):
+                ret_pcm.append(np.asarray(
+                    pipeline._frag_head(out, frag), dtype=np.float64))
+                ret_pcm.append(np.asarray(out[len(frag):], dtype=np.float64))
+            else:
+                ret_pcm.append(np.asarray(out, dtype=np.float64))
+            self.overlap_fragment = np.asarray(new_frag, dtype=np.float64)
+            self.overlap_prog = 0
+            idx += k
 
     def process(self, stream: bytes) -> DecodeResult:
         self.buffer += stream

@@ -134,7 +134,7 @@ class Encoder:
 
     # micro-batch bucket sizes: power-of-2 shapes keep the jitted batch
     # cores at a handful of compile cache entries over a whole stream
-    _MICRO_BATCH_MAX = 64
+    _MICRO_BATCH_MAX = 256
 
     def _micro_batch(self, rlen: int) -> tuple[bytes, int] | None:
         """Encode a run of full frames in ONE batched dispatch.
@@ -185,13 +185,19 @@ class Encoder:
         span = np.concatenate([frag, fresh]) if len(frag) else fresh
 
         from .parallel.pipeline import batch_encode
-        stream = batch_encode(
-            span, profile, self.srate, self.bit_depth, self.fsize,
-            loss_level=self.loss_level, enable_ecc=self.asfh.ecc,
-            ecc_ratio=(self.asfh.ecc_dsize, self.asfh.ecc_codesize),
-            little_endian=self.asfh.endian,
-            overlap_ratio=ratio if is_compact else 0,
-            final=False)
+        try:
+            stream = batch_encode(
+                span, profile, self.srate, self.bit_depth, self.fsize,
+                loss_level=self.loss_level, enable_ecc=self.asfh.ecc,
+                ecc_ratio=(self.asfh.ecc_dsize, self.asfh.ecc_codesize),
+                little_endian=self.asfh.endian,
+                overlap_ratio=ratio if is_compact else 0,
+                final=False)
+        except Exception:
+            # unconsume and let the per-frame path (its own validation
+            # gauntlet) handle whatever state the batch path rejected
+            self.buffer = pcm_bytes + self.buffer
+            return None
 
         self.overlap_fragment = (span[len(span) - steady_frag:]
                                  if olap_active
