@@ -117,66 +117,75 @@ class Decoder:
         """
         if not hs:
             return
-        use_batch = len(hs) >= 2 and self.overlap_prog == 0
-        if use_batch:
-            from .parallel import pipeline
-            key0 = pipeline._run_key(hs[0])
-            use_batch = all(pipeline._run_key(h) == key0 for h in hs[1:])
-        if use_batch:
-            h0 = hs[0]
-            n = h0.fsize
-            cut = (n * (h0.overlap_ratio - 1) // h0.overlap_ratio
-                   if h0.profile in COMPACT and h0.overlap_ratio > 1 else n)
-            frag = self.overlap_fragment
-            if frag.size and (len(frag) > cut
-                              or frag.shape[1] != h0.channels):
-                use_batch = False   # multi-frame progressive crossfade
-        if not use_batch:
-            for h, p in zip(hs, ps):
-                ret_pcm.append(self._decode_one(h, p))
-            return
-
         from .ops import policy
         from .parallel import pipeline
         cdt = None if policy.compute_dtype() == "float64" \
             else policy.compute_dtype()
-        # power-of-2 group sizes: an arbitrary pending count would
-        # compile a fresh device program per size (tens of seconds each
-        # on a remote-compile backend); buckets keep the compiled-shape
-        # set tiny and reusable, same as Encoder._micro_batch
+
+        # split into consecutive uniform-header runs (mixed pushes —
+        # e.g. per-frame lossless depth escalation — batch run by run
+        # instead of falling back wholesale), then decode each run in
+        # power-of-2 groups: an arbitrary batch size would compile a
+        # fresh device program (tens of seconds each on a remote-compile
+        # backend); buckets keep the compiled-shape set tiny and
+        # reusable, same as Encoder._micro_batch
         idx = 0
         total = len(hs)
         while idx < total:
-            k = 1
-            while k * 2 <= min(total - idx, 256):
-                k *= 2
-            if k < 2:
+            key0 = pipeline._run_key(hs[idx])
+            run = 1
+            while (idx + run < total
+                   and pipeline._run_key(hs[idx + run]) == key0):
+                run += 1
+
+            h0 = hs[idx]
+            n = h0.fsize
+            cut = (n * (h0.overlap_ratio - 1) // h0.overlap_ratio
+                   if h0.profile in COMPACT and h0.overlap_ratio > 1 else n)
+            frag = self.overlap_fragment
+            if (run < 2 or self.overlap_prog != 0
+                    or (frag.size and (len(frag) > cut
+                                       or frag.shape[1] != h0.channels))):
+                # single frame, or a multi-frame progressive crossfade
+                # only the per-frame path handles
                 ret_pcm.append(self._decode_one(hs[idx], ps[idx]))
                 idx += 1
                 continue
-            try:
-                out, new_frag = pipeline._decode_run(
-                    hs[idx: idx + k], ps[idx: idx + k],
-                    fix_error=self.fix_error, compute_dtype=cdt,
-                    i16_transfer=False, i24_transfer=False)
-            except Exception:
-                # pathological payloads: the per-frame path has the
-                # zero-frame-and-continue semantics (reference
-                # profile1.py:59-64); never fail the whole push
-                for j in range(idx, idx + k):
-                    ret_pcm.append(self._decode_one(hs[j], ps[j]))
+
+            end = idx + run
+            while idx < end:
+                k = 1
+                while k * 2 <= min(end - idx, 256):
+                    k *= 2
+                if k < 2 or self.overlap_prog != 0:
+                    ret_pcm.append(self._decode_one(hs[idx], ps[idx]))
+                    idx += 1
+                    continue
+                try:
+                    out, new_frag = pipeline._decode_run(
+                        hs[idx: idx + k], ps[idx: idx + k],
+                        fix_error=self.fix_error, compute_dtype=cdt,
+                        i16_transfer=False, i24_transfer=False)
+                except Exception:
+                    # pathological payloads: the per-frame path has the
+                    # zero-frame-and-continue semantics (reference
+                    # profile1.py:59-64); never fail the whole push
+                    for j in range(idx, idx + k):
+                        ret_pcm.append(self._decode_one(hs[j], ps[j]))
+                    idx += k
+                    continue
+                frag = self.overlap_fragment
+                if frag.size and len(out):
+                    ret_pcm.append(np.asarray(
+                        pipeline._frag_head(out, frag), dtype=np.float64))
+                    ret_pcm.append(np.asarray(out[len(frag):],
+                                              dtype=np.float64))
+                else:
+                    ret_pcm.append(np.asarray(out, dtype=np.float64))
+                self.overlap_fragment = np.asarray(new_frag,
+                                                   dtype=np.float64)
+                self.overlap_prog = 0
                 idx += k
-                continue
-            frag = self.overlap_fragment
-            if frag.size and len(out):
-                ret_pcm.append(np.asarray(
-                    pipeline._frag_head(out, frag), dtype=np.float64))
-                ret_pcm.append(np.asarray(out[len(frag):], dtype=np.float64))
-            else:
-                ret_pcm.append(np.asarray(out, dtype=np.float64))
-            self.overlap_fragment = np.asarray(new_frag, dtype=np.float64)
-            self.overlap_prog = 0
-            idx += k
 
     def process(self, stream: bytes) -> DecodeResult:
         self.buffer += stream

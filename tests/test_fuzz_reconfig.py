@@ -95,4 +95,7 @@ def test_reconfig_stream_chunked_decode_equivalence(chunk):
 
     a = decode_chunked(chunk)
     b = decode_chunked(len(stream))
-    np.testing.assert_array_equal(a, b)
+    # push granularity changes the decoder's batch grouping, which
+    # carries few-ulp f64 accumulation-order noise (PARITY.md 6b)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-14)
