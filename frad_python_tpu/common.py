@@ -19,6 +19,13 @@ import numpy as np
 SIGNATURE = b"fRad"
 FRM_SIGN = b"\xff\xd0\xd2\x98"
 
+#: Streaming engines batch deferred frames in power-of-2 groups up to
+#: this size (shared by Encoder._micro_batch and Decoder._drain_pending
+#: so both engines reuse ONE small compiled-shape set — every distinct
+#: batch size costs a device program compile, tens of seconds each on a
+#: remote-compile backend).
+MICRO_BATCH_MAX = 256
+
 
 def _build_crc16_table() -> np.ndarray:
     poly = np.uint16(0xA001)

@@ -42,12 +42,13 @@ def decode(data: bytes, ecc_dsize: int, ecc_codesize: int, repair: bool) -> byte
     if not data or ecc_codesize <= 0:
         return data
     blocksize = ecc_dsize + ecc_codesize
-    if blocksize > 255 and repair:
+    if (blocksize > 255 or ecc_dsize < 1) and repair:
         # A hand-crafted/corrupt header can claim a ratio GF(256) cannot
-        # honor (each field is u8; the sum may reach 510). No conforming
-        # encoder produces this (encoder.set_ecc clamps to 255), so the
-        # robust decode behavior is best-effort parity stripping rather
-        # than a raised error mid-stream.
+        # honor (each field is u8; the sum may reach 510, or dsize may
+        # be 0). No conforming encoder produces this (encoder.set_ecc
+        # clamps/falls back), so the robust decode behavior is
+        # best-effort parity stripping rather than a raised error
+        # mid-stream.
         repair = False
     buf = np.frombuffer(data, dtype=np.uint8)
     n_full = len(buf) // blocksize

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import models
-from .common import FRM_SIGN
+from .common import FRM_SIGN, MICRO_BATCH_MAX
 from .container import ecc
 from .container.asfh import ASFH, COMPLETE, FORCE_FLUSH, INCOMPLETE
 from .models import COMPACT
@@ -155,7 +155,7 @@ class Decoder:
             end = idx + run
             while idx < end:
                 k = 1
-                while k * 2 <= min(end - idx, 256):
+                while k * 2 <= min(end - idx, MICRO_BATCH_MAX):
                     k *= 2
                 if k < 2 or self.overlap_prog != 0:
                     ret_pcm.append(self._decode_one(hs[idx], ps[idx]))

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import models
+from .common import MICRO_BATCH_MAX
 from .container import ecc
 from .container.asfh import ASFH
 from .models import AVAILABLE, BIT_DEPTHS, COMPACT, SEGMAX
@@ -132,9 +133,6 @@ class Encoder:
             return models.profile4.analogue(frame, self.bit_depth, self.srate, self.asfh.endian)
         return models.profile0.analogue(frame, self.bit_depth, self.srate, self.asfh.endian)
 
-    # micro-batch bucket sizes: power-of-2 shapes keep the jitted batch
-    # cores at a handful of compile cache entries over a whole stream
-    _MICRO_BATCH_MAX = 256
 
     def _micro_batch(self, rlen: int) -> tuple[bytes, int] | None:
         """Encode a run of full frames in ONE batched dispatch.
@@ -172,7 +170,7 @@ class Encoder:
             return None        # fewer than 2 complete frames buffered
         k_avail = 1 + (avail - fresh0) // steady_fresh
         k = 1
-        while k * 2 <= min(k_avail, self._MICRO_BATCH_MAX):
+        while k * 2 <= min(k_avail, MICRO_BATCH_MAX):
             k *= 2
         if k < 2:
             return None

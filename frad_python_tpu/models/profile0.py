@@ -27,7 +27,7 @@ def _forward(pcm: np.ndarray, dt: str, bits: int = 0) -> np.ndarray:
     ~2^-47 relative error, within one ulp of the container's 36-bit
     mantissa), and on the host CPU FFT otherwise (policy.deep_device)."""
     if dt == "float64":
-        if policy.deep_on_device(bits):
+        if policy.deep_on_device(bits, len(pcm)):
             return np.asarray(dct2_forward(pcm, axis=0, force_matmul=True),
                               dtype=np.float64)
         with policy.deep_device():
@@ -80,7 +80,7 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, little_endian: boo
     dt = policy.transform_dtype(bits)
     freqs = flat[:n].reshape(-1, channels).astype(dt)
     if dt == "float64":
-        if policy.deep_on_device(bits):
+        if policy.deep_on_device(bits, len(freqs)):
             return np.asarray(idct2_forward(freqs, axis=0, force_matmul=True),
                               dtype=np.float64)
         with policy.deep_device():

@@ -28,7 +28,8 @@ def compute_dtype() -> str:
 
 
 #: container depths >= this exceed f32 transform precision (f32 carries a
-#: 24-bit mantissa; the 48/64-bit containers store 40/52 mantissa bits)
+#: 24-bit mantissa; the 48/64-bit containers store 36/52 mantissa bits —
+#: a truncated f64 keeps sign(1) + exponent(11) + 36 mantissa bits)
 DEEP_BITS = 48
 
 
@@ -46,19 +47,27 @@ def transform_dtype(bits: int) -> str:
     return "float64" if bits >= DEEP_BITS else compute_dtype()
 
 
-def deep_on_device(bits: int) -> bool:
-    """True when a `bits`-deep archival transform should run ON the
-    accelerator instead of the host CPU.
+def deep_on_device(bits: int, n: int = 0) -> bool:
+    """True when a `bits`-deep archival transform of frame size `n`
+    should run ON the accelerator instead of the host CPU.
 
     The 48-bit container keeps 36 mantissa bits; XLA:TPU's emulated f64
     matmul measures ~6e-15 relative error (2^-47) — two orders below
     one ulp of the container (2^-37) — so the 48-bit DCT runs on-chip
     as an f64 matmul (the FFT formulation needs complex128, which TPU
-    lacks). The 64-bit container stores the full f64 mantissa, where
-    matmul accumulation noise would land above the container's
-    precision: it stays on the host CPU FFT path. Opt out with
-    FRAD_TPU_DEEP_ON_HOST=1 (restores the r3 behavior: all deep depths
-    on host).
+    lacks — which is also why frames beyond the matmul matrix cap must
+    stay on the host: the device would have to fall into the
+    uncompilable FFT form). The 64-bit container stores the full f64
+    mantissa, where matmul accumulation noise would land above the
+    container's precision: it stays on the host CPU FFT path.
+
+    Opt out with FRAD_TPU_DEEP_ON_HOST=1 (restores the r3 behavior:
+    all deep depths on host). On rigs where the accelerator link is
+    slow relative to the host CPU, the host route wins end-to-end —
+    measured on the tunneled bench rig at 3509 vs 217 frames/s
+    (BENCH_DETAIL p0_stereo_48b_host vs p0_stereo_48b; the device
+    route's floor is ~50x lower on a PCIe-local chip, which is why
+    the chip remains the default on a TPU backend).
 
     Note on bit-identity: the on-device stream may differ from the
     host-FFT stream in the rare coefficients that sit within transform
@@ -70,6 +79,11 @@ def deep_on_device(bits: int) -> bool:
         return False
     if os.environ.get("FRAD_TPU_DEEP_ON_HOST"):
         return False
+    if n:
+        from .dct import MATMUL_MAX_N
+
+        if n > MATMUL_MAX_N:
+            return False
     import jax
 
     return jax.default_backend() == "tpu"

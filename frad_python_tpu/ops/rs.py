@@ -47,6 +47,10 @@ def check_code_params(dsize: int, nsym: int) -> None:
     """
     if nsym < 0:
         raise ValueError(f"RS parity size must be >= 0, got {nsym}")
+    if dsize < 1:
+        raise ValueError(
+            f"RS data size must be >= 1, got {dsize} (a codeword must "
+            "hold at least one data symbol beyond its parity)")
     if dsize + nsym > MAX_CODEWORD:
         raise ValueError(
             f"RS(dsize={dsize}, nsym={nsym}) needs a {dsize + nsym}-symbol "

@@ -651,7 +651,7 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                       bdi, frs[0][1], len(frs))
             with _stage("enc:core"):
                 if base_bits >= policy.DEEP_BITS:
-                    if policy.deep_on_device(base_bits):
+                    if policy.deep_on_device(base_bits, arr.shape[1]):
                         # 48-bit archival ON the accelerator: emulated-f64
                         # matmul DCT (~2^-47 rel error, one ulp of the
                         # container's 36-bit mantissa). The transfer stays
@@ -927,7 +927,11 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
     if h0.ecc:
         with _stage("dec:ecc"):
             if (native.has("frad_unarmor_batch") and h0.ecc_dsize > 0
-                    and h0.ecc_codesize > 0):
+                    and h0.ecc_codesize > 0
+                    and h0.ecc_dsize + h0.ecc_codesize <= 255):
+                # ratios GF(256) can honor only; hand-crafted headers
+                # claiming more fall to the per-frame path, which strips
+                # parity best-effort (container/ecc.py)
                 # one threaded C++ pass: CRC verify + parity strip (or
                 # RS repair on mismatch) for the whole run
                 crcs = np.fromiter((h.crc for h in hs), np.uint32, run)
@@ -1118,7 +1122,7 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
             if prof == 0:
                 if bits >= policy.DEEP_BITS:
-                    if policy.deep_on_device(bits):
+                    if policy.deep_on_device(bits, n):
                         # 48-bit archival IDCT on the accelerator
                         # (emulated-f64 matmul; see policy.deep_on_device)
                         from ..ops import dct as dct_ops
@@ -1365,7 +1369,11 @@ def batch_repair(stream: bytes, ecc_ratio: tuple[int, int] = DEFAULT_ECC_RATIO,
         h0 = hs[0]
         if h0.ecc:
             if (native.has("frad_unarmor_batch") and h0.ecc_dsize > 0
-                    and h0.ecc_codesize > 0):
+                    and h0.ecc_codesize > 0
+                    and h0.ecc_dsize + h0.ecc_codesize <= 255):
+                # ratios GF(256) can honor only; hand-crafted headers
+                # claiming more fall to the per-frame path, which strips
+                # parity best-effort (container/ecc.py)
                 crcs = np.fromiter((h.crc for h in hs), np.uint32, len(hs))
                 ps, _ok = native.unarmor_batch(
                     ps, h0.ecc_dsize, h0.ecc_codesize, crcs,

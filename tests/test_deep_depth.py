@@ -2,7 +2,7 @@
 
 VERDICT r1 #6 / SURVEY §7 hard part (b): on a TPU backend the f32 compute
 dtype carries ~1e-7 transform noise — unacceptable for containers that
-store 40/52 mantissa bits. policy.transform_dtype routes deep depths to
+store 36/52 mantissa bits. policy.transform_dtype routes deep depths to
 the f64 program (on the CPU backend when the accelerator has no native
 f64), so deep-depth streams are byte-identical across backends. These
 tests simulate the TPU session by forcing compute dtype / the pipeline's
@@ -92,7 +92,7 @@ class TestOnDeviceDeepPath:
     def device_deep(self, monkeypatch):
         """Force the on-device 48-bit branch on the CPU rig."""
         monkeypatch.setattr(policy, "deep_on_device",
-                            lambda bits: bits == 48)
+                            lambda bits, n=0: bits == 48)
 
     def test_stream_roundtrip_with_device_branch(self, device_deep):
         pcm = _pcm()
@@ -106,7 +106,7 @@ class TestOnDeviceDeepPath:
         # vs the host path: every decoded sample within one ulp48 of peak
         monkeypatch_off = policy.deep_on_device
         try:
-            policy.deep_on_device = lambda bits: False
+            policy.deep_on_device = lambda bits, n=0: False
             s_host = batch_encode(pcm, 0, 44100, 48, 512)
             out_host, _ = batch_decode(s_host)
         finally:
@@ -123,6 +123,27 @@ class TestOnDeviceDeepPath:
         out = np.concatenate([p for p in (d.process(stream).pcm,
                                           d.flush().pcm) if p.size])
         err = out - pcm[: len(out)]
+        snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(err**2), 1e-300))
+        assert snr > 195
+
+    def test_oversize_frames_stay_on_host(self, monkeypatch):
+        """Frames beyond the matmul matrix cap cannot use the device
+        route (the f64 FFT form needs complex128, which TPU lacks) —
+        the policy must route them to the host even on a TPU backend."""
+        import jax
+
+        from frad_python_tpu.ops.dct import MATMUL_MAX_N
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("FRAD_TPU_DEEP_ON_HOST", raising=False)
+        assert policy.deep_on_device(48, MATMUL_MAX_N)
+        assert not policy.deep_on_device(48, MATMUL_MAX_N + 1)
+        assert not policy.deep_on_device(64, MATMUL_MAX_N)
+        # and the full encode path survives an oversize 48-bit frame
+        # (host FFT route) on any backend
+        pcm = _pcm(1, MATMUL_MAX_N + 2048, 1)[: MATMUL_MAX_N + 2048]
+        frad, bdi, *_ = profile0.analogue(pcm, 48, 44100, False)
+        back = profile0.digital(frad, bdi, 1, False)
+        err = back - pcm
         snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(err**2), 1e-300))
         assert snr > 195
 
