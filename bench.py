@@ -358,17 +358,21 @@ def measure_core_fps(compute_dtype: str | None, b: int = 646,
     pcm_d = batch._p1_decode_jit(fqf, tqf, srate, factor, inv)
     jax.block_until_ready(pcm_d)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fq, tq = batch._p1_encode_jit(frames, srate, ll, factor, fwd)
-    jax.block_until_ready((fq, tq))
-    enc_dt = time.perf_counter() - t0
+    # best of 3: the dispatch stream rides the tunnel, whose per-call
+    # latency jitters — min time is the honest lower-bound estimator
+    enc_dt = dec_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fq, tq = batch._p1_encode_jit(frames, srate, ll, factor, fwd)
+        jax.block_until_ready((fq, tq))
+        enc_dt = min(enc_dt, time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        pcm_d = batch._p1_decode_jit(fqf, tqf, srate, factor, inv)
-    jax.block_until_ready(pcm_d)
-    dec_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            pcm_d = batch._p1_decode_jit(fqf, tqf, srate, factor, inv)
+        jax.block_until_ready(pcm_d)
+        dec_dt = min(dec_dt, time.perf_counter() - t0)
 
     enc_fps = b * iters / enc_dt
     dec_fps = b * iters / dec_dt
