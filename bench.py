@@ -568,14 +568,18 @@ def main() -> None:
                     annotate_link(name, res["link"], link)
 
     out_path = REPO / "BENCH_DETAIL.json"
+    # backend/compute_dtype ride on every RESULT (a subset re-measure
+    # can run on a different backend than the stored full run; neither
+    # a run-wide label kept stale nor one overwritten for unmeasured
+    # configs is truthful — per-result labels always are)
+    for res in detail.values():
+        if "error" not in res:
+            res["backend"] = backend
+            res["compute_dtype"] = compute_dtype
     if only and out_path.exists():
-        # subset re-measure: update only the run configs in place; the
-        # run-wide labels must describe THIS run, not the stored one —
-        # a subset run on a different backend must not mislabel results
+        # subset re-measure: update only the run configs in place
         full = json.loads(out_path.read_text())
         full["results"].update(detail)
-        full["backend"] = backend
-        full["compute_dtype"] = compute_dtype
         if link:
             full["link_ceiling"] = link
         out_path.write_text(json.dumps(full, indent=2))

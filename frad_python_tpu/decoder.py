@@ -109,11 +109,15 @@ class Decoder:
                        ret_pcm: list[np.ndarray]) -> None:
         """Decode the deferred frames collected by `process`.
 
-        Runs of >= 2 frames with identical header configuration go to the
-        batched cores in ONE device dispatch (`pipeline._decode_run`, the
-        --turbo machinery, byte-exact with the per-frame path); anything
-        off the uniform grid — mid-crossfade fragments, mixed headers —
-        falls back to the per-frame loop.
+        Runs of >= 2 frames with identical header configuration go to
+        the batched cores in few device dispatches (`pipeline._decode_run`,
+        the --turbo machinery). The BYTE domain (ECC verify/repair,
+        payload handling) is exact on every path; the emitted float PCM
+        carries the batched cores' few-ulp f64 reduction-order noise
+        relative to the per-frame path (PARITY.md 6b, bounded at 1e-14
+        by tests). Mid-crossfade fragments and pathological payloads
+        fall back to the per-frame loop. The run-splitting mirrors
+        batch_decode's loop (pipeline.py) — change them together.
         """
         if not hs:
             return

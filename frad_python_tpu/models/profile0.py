@@ -25,9 +25,12 @@ def _forward(pcm: np.ndarray, dt: str, bits: int = 0) -> np.ndarray:
     """Forward DCT at dtype `dt`. f64 transforms run on-device as an
     emulated-f64 matmul for the 48-bit container (policy.deep_on_device:
     ~2^-47 relative error, within one ulp of the container's 36-bit
-    mantissa), and on the host CPU FFT otherwise (policy.deep_device)."""
+    mantissa), and on the host CPU FFT otherwise (policy.deep_device).
+    Content beyond the f32-based emulation's magnitude range — incl.
+    the f32-overflow escalation redo — always takes the host path."""
     if dt == "float64":
-        if policy.deep_on_device(bits, len(pcm)):
+        max_abs = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+        if policy.deep_on_device(bits, len(pcm), max_abs):
             return np.asarray(dct2_forward(pcm, axis=0, force_matmul=True),
                               dtype=np.float64)
         with policy.deep_device():
@@ -80,7 +83,8 @@ def digital(frad: bytes, bit_depth_index: int, channels: int, little_endian: boo
     dt = policy.transform_dtype(bits)
     freqs = flat[:n].reshape(-1, channels).astype(dt)
     if dt == "float64":
-        if policy.deep_on_device(bits, len(freqs)):
+        max_abs = float(np.max(np.abs(freqs))) if freqs.size else 0.0
+        if policy.deep_on_device(bits, len(freqs), max_abs):
             return np.asarray(idct2_forward(freqs, axis=0, force_matmul=True),
                               dtype=np.float64)
         with policy.deep_device():

@@ -47,9 +47,20 @@ def transform_dtype(bits: int) -> str:
     return "float64" if bits >= DEEP_BITS else compute_dtype()
 
 
-def deep_on_device(bits: int, n: int = 0) -> bool:
+#: Magnitude ceiling for the on-device archival route. XLA:TPU's
+#: emulated f64 is built on f32 arithmetic and OVERFLOWS above f32's
+#: ~3.4e38 range (verified on hardware: 1e39 inputs produce NaN
+#: coefficients), so content whose magnitude approaches it must take
+#: the host's real-f64 path. 1e30 sits astronomically above any real
+#: audio (normalised PCM, coefficients < 1e6) and far below the
+#: emulation's overflow with any frame size <= 2^20.
+DEVICE_F64_SAFE_MAX = 1e30
+
+
+def deep_on_device(bits: int, n: int = 0, max_abs: float | None = None) -> bool:
     """True when a `bits`-deep archival transform of frame size `n`
-    should run ON the accelerator instead of the host CPU.
+    (content magnitude `max_abs` when known) should run ON the
+    accelerator instead of the host CPU.
 
     The 48-bit container keeps 36 mantissa bits; XLA:TPU's emulated f64
     matmul measures ~6e-15 relative error (2^-47) — two orders below
@@ -84,6 +95,10 @@ def deep_on_device(bits: int, n: int = 0) -> bool:
 
         if n > MATMUL_MAX_N:
             return False
+    if max_abs is not None and not (max_abs <= DEVICE_F64_SAFE_MAX):
+        # beyond the f32-based emulation's range (NaN max_abs also
+        # lands here): host real-f64 only
+        return False
     import jax
 
     return jax.default_backend() == "tpu"

@@ -651,7 +651,9 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                       bdi, frs[0][1], len(frs))
             with _stage("enc:core"):
                 if base_bits >= policy.DEEP_BITS:
-                    if policy.deep_on_device(base_bits, arr.shape[1]):
+                    if policy.deep_on_device(
+                            base_bits, arr.shape[1],
+                            float(np.max(np.abs(arr))) if arr.size else 0.0):
                         # 48-bit archival ON the accelerator: emulated-f64
                         # matmul DCT (~2^-47 rel error, one ulp of the
                         # container's 36-bit mantissa). The transfer stays
@@ -1122,7 +1124,9 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
             if prof == 0:
                 if bits >= policy.DEEP_BITS:
-                    if policy.deep_on_device(bits, n):
+                    if policy.deep_on_device(
+                            bits, n,
+                            float(np.max(np.abs(coeffs))) if coeffs.size else 0.0):
                         # 48-bit archival IDCT on the accelerator
                         # (emulated-f64 matmul; see policy.deep_on_device)
                         from ..ops import dct as dct_ops

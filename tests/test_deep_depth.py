@@ -91,8 +91,10 @@ class TestOnDeviceDeepPath:
     @pytest.fixture
     def device_deep(self, monkeypatch):
         """Force the on-device 48-bit branch on the CPU rig."""
-        monkeypatch.setattr(policy, "deep_on_device",
-                            lambda bits, n=0: bits == 48)
+        monkeypatch.setattr(
+            policy, "deep_on_device",
+            lambda bits, n=0, max_abs=None: bits == 48 and (
+                max_abs is None or max_abs <= policy.DEVICE_F64_SAFE_MAX))
 
     def test_stream_roundtrip_with_device_branch(self, device_deep):
         pcm = _pcm()
@@ -106,7 +108,7 @@ class TestOnDeviceDeepPath:
         # vs the host path: every decoded sample within one ulp48 of peak
         monkeypatch_off = policy.deep_on_device
         try:
-            policy.deep_on_device = lambda bits, n=0: False
+            policy.deep_on_device = lambda bits, n=0, max_abs=None: False
             s_host = batch_encode(pcm, 0, 44100, 48, 512)
             out_host, _ = batch_decode(s_host)
         finally:
@@ -138,6 +140,11 @@ class TestOnDeviceDeepPath:
         assert policy.deep_on_device(48, MATMUL_MAX_N)
         assert not policy.deep_on_device(48, MATMUL_MAX_N + 1)
         assert not policy.deep_on_device(64, MATMUL_MAX_N)
+        # content beyond the f32-based f64 emulation's range (or NaN)
+        # must route host even on a TPU backend
+        assert policy.deep_on_device(48, 2048, 1.0)
+        assert not policy.deep_on_device(48, 2048, 1e39)
+        assert not policy.deep_on_device(48, 2048, float("nan"))
         # and the full encode path survives an oversize 48-bit frame
         # (host FFT route) on any backend
         pcm = _pcm(1, MATMUL_MAX_N + 2048, 1)[: MATMUL_MAX_N + 2048]
@@ -147,10 +154,12 @@ class TestOnDeviceDeepPath:
         snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(err**2), 1e-300))
         assert snr > 195
 
-    def test_escalation_into_48_takes_device_branch(self, device_deep):
-        # f32 overflow escalates 32 -> 48; the redo lands on the device
-        # branch (48-bit) and must stay archival. Escalation can never
-        # continue past 48 (its container shares f64's exponent range).
+    def test_escalation_into_48_stays_on_host(self, device_deep):
+        # f32 overflow escalates 32 -> 48 with content BEYOND the f32
+        # range — exactly where the device's f32-based f64 emulation
+        # overflows (measured NaN on hardware), so the redo must route
+        # to the host real-f64 path (policy.DEVICE_F64_SAFE_MAX guard)
+        # and still escalate + round-trip losslessly.
         pcm = np.full((512, 1), 1e39)
         frad, bdi, *_ = profile0.analogue(pcm, 32, 44100, False)
         assert profile0.DEPTHS[bdi] == 48
