@@ -18,6 +18,25 @@ from __future__ import annotations
 
 import os
 
+# Determinism pin for the CPU-backend f64 transforms: XLA:CPU's DUCC FFT
+# custom call plans by the number of pool threads AVAILABLE at call time,
+# and the plan changes the rounding of every output element — the same
+# program on the same bytes returns one of two ~1-ulp-apart results
+# run to run (measured 11-56/60 flips on a 2-vCPU host; fan-out of the
+# r4 advisor's "decoded PCM nondeterministic for identical input"
+# finding). The reference decoder is exactly deterministic
+# (src/libfrad/decoder.py:28-46), so pin the single-threaded FFT plan.
+# Measured cost on the bench host: <6% on the f64 FFT-DCT, none on
+# matmul (the thunk runtime stopped using Eigen for dots). TPU programs
+# are unaffected (CPU-only flag). Opt out with FRAD_TPU_FFT_MT=1;
+# a user-provided xla_cpu_multi_thread_eigen flag wins. Best-effort by
+# construction: XLA parses XLA_FLAGS at first backend use, so importing
+# frad_python_tpu after running other jax programs may be too late.
+if not os.environ.get("FRAD_TPU_FFT_MT") \
+        and "xla_cpu_multi_thread_eigen" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_cpu_multi_thread_eigen=false").strip()
+
 # f64 is the codec's native sample type (the container stores up to 64-bit
 # floats); enable x64 before any jax arrays are created. Opt out with
 # FRAD_TPU_NO_X64=1 (compute cores then run in f32).

@@ -49,13 +49,24 @@ class DecodeResult:
 
 
 class Decoder:
-    def __init__(self, fix_error: bool = False):
+    def __init__(self, fix_error: bool = False, exact: bool | None = None):
+        """`exact=True` disables the micro-batched drain entirely: every
+        frame decodes on the strictly per-frame path, so decoded floats
+        are BIT-identical across push granularities — the reference
+        decoder's exact chunk-invariance (src/libfrad/decoder.py:28-46)
+        — at the cost of one device dispatch per frame. Default False
+        (micro-batched; few-ulp grouping noise, PARITY.md 6b); env
+        FRAD_TPU_EXACT_DECODE=1 flips the default process-wide."""
+        import os
+
         self.asfh = ASFH()
         self.info: tuple[int, int] = (0, 0)   # (channels, srate) snapshot
         self.buffer = b""
         self.overlap_fragment = np.empty((0, 0), dtype=np.float64)
         self.overlap_prog = 0
         self.fix_error = fix_error
+        self.exact = bool(os.environ.get("FRAD_TPU_EXACT_DECODE")) \
+            if exact is None else exact
         self.broken_frame = False
 
     def is_empty(self) -> bool:
@@ -120,6 +131,12 @@ class Decoder:
         batch_decode's loop (pipeline.py) — change them together.
         """
         if not hs:
+            return
+        if self.exact:
+            # exact chunk-invariant mode: strictly per-frame, matching
+            # the reference decoder's bit-identical push invariance
+            for h, p in zip(hs, ps):
+                ret_pcm.append(self._decode_one(h, p))
             return
         from .ops import policy
         from .parallel import pipeline
@@ -277,6 +294,7 @@ class Decoder:
             "overlap_prog": self.overlap_prog,
             "info": self.info,
             "fix_error": self.fix_error,
+            "exact": self.exact,
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -285,3 +303,4 @@ class Decoder:
         self.overlap_prog = state["overlap_prog"]
         self.info = tuple(state["info"])
         self.fix_error = state["fix_error"]
+        self.exact = state.get("exact", self.exact)

@@ -140,6 +140,33 @@ class TestStreamingEquivalence:
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=1e-14)
 
+    @pytest.mark.parametrize("chunk", [1, 17, 32768])
+    def test_decoder_exact_mode_chunk_invariance(self, chunk):
+        """Decoder(exact=True) takes the strictly per-frame path: decoded
+        floats are BIT-identical across push granularities, matching the
+        reference decoder's exact invariance (reference decoder.py:28-46)."""
+        _, raw = make_pcm(seconds=0.05)
+        stream = encode_all(Encoder(1, 44100, 2, 16, 512, "f64be"), raw)
+        ref = decode_all(Decoder(exact=True), stream, chunk=32768)
+        got = decode_all(Decoder(exact=True), stream, chunk=chunk)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_decoder_run_to_run_deterministic(self):
+        """Same stream bytes -> bit-identical PCM on EVERY decode, both
+        micro-batched and exact paths (regression: XLA:CPU's DUCC FFT
+        custom call plans by runtime thread availability, flipping every
+        output element by ~1 ulp between runs until the package pinned
+        xla_cpu_multi_thread_eigen=false at import)."""
+        _, raw = make_pcm(seconds=0.3)
+        enc = Encoder(1, 44100, 2, 16, 1024, "f64be")
+        enc.set_overlap_ratio(16)
+        stream = encode_all(enc, raw)
+        for exact in (False, True):
+            ref = decode_all(Decoder(exact=exact), stream)
+            for _ in range(3):
+                np.testing.assert_array_equal(
+                    decode_all(Decoder(exact=exact), stream), ref)
+
     @pytest.mark.parametrize("profile,bits,kw", [
         (4, 64, dict()),
         (0, 24, dict()),
