@@ -126,16 +126,21 @@ CONFIGS = {
     "hires_96k_8ch": dict(profile=0, srate=96000, channels=8, bits=24, frame_size=8192),
     "p1_stereo_48k_ecc": dict(profile=1, srate=48000, channels=2, bits=16,
                               frame_size=2048, ecc=True),
-    # archival deep depths: 48-bit runs ON the TPU via the emulated-f64
-    # matmul DCT (policy.deep_on_device, ~2^-47 rel err <= 1 ulp of the
-    # container); 64-bit keeps the host-CPU f64 FFT (full f64 mantissa).
-    # The _host sibling measures FRAD_TPU_DEEP_ON_HOST=1 — on a tunneled
-    # rig the archival f64 wire volume makes the host route the faster
-    # product configuration (on a PCIe-local chip the device route's
-    # floor is ~50x lower); both are measured so the crossover is an
-    # artifact, not a guess.
+    # archival deep depths: the 48-bit DCT has two valid routes — the
+    # emulated-f64 matmul ON the TPU (~2^-47 rel err <= 1 ulp of the
+    # container) and the host-CPU f64 FFT — and the DEFAULT product path
+    # now MEASURES which wins on this rig at first use
+    # (policy._deep_device_route_wins: device cost = f64 link round
+    # trip, host cost = CPU FFT; a PCIe-local chip picks the device, a
+    # slow tunneled link picks the host). p0_stereo_48b is that default;
+    # the _dev/_host siblings force each route so the crossover stays an
+    # artifact, not a guess. 64-bit always keeps the host-CPU f64 FFT
+    # (full f64 mantissa).
     "p0_stereo_48b": dict(profile=0, srate=44100, channels=2, bits=48,
                           frame_size=2048),
+    "p0_stereo_48b_dev": dict(profile=0, srate=44100, channels=2, bits=48,
+                              frame_size=2048, baseline_as="p0_stereo_48b",
+                              env={"FRAD_TPU_DEEP_ON_DEVICE": "1"}),
     "p0_stereo_48b_host": dict(profile=0, srate=44100, channels=2, bits=48,
                                frame_size=2048, baseline_as="p0_stereo_48b",
                                env={"FRAD_TPU_DEEP_ON_HOST": "1"}),
@@ -303,10 +308,20 @@ def _run_config_inner(name: str, cfg: dict, compute_dtype: str | None,
     err = out[:m] - pcm[:m]
     snr = float(10 * np.log10(np.sum(pcm[:m] ** 2) / max(np.sum(err ** 2), 1e-300)))
 
+    # record which archival route the auto-policy resolved to for this
+    # config (VERDICT r4 #2: the default must be measured, and the
+    # artifact must say what it measured)
+    deep_route = None
+    if cfg["profile"] == 0 and cfg["bits"] == 48:
+        from frad_python_tpu.ops import policy as _policy
+        deep_route = "device" if _policy.deep_on_device(
+            48, cfg["frame_size"], 1.0) else "host"
+
     res = {
         "frames_per_s": fps,
         "encode_s": enc_t,
         "decode_s": dec_t,
+        **({"deep_route": deep_route} if deep_route else {}),
         "frames": total_frames,
         "snr_db": snr,
         "realtime_x": total_frames * cfg["frame_size"] / cfg["srate"] / wall,

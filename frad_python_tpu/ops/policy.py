@@ -56,6 +56,84 @@ def transform_dtype(bits: int) -> str:
 #: emulation's overflow with any frame size <= 2^20.
 DEVICE_F64_SAFE_MAX = 1e30
 
+#: Symmetric magnitude FLOOR for the on-device route: the same f32-based
+#: emulation flushes magnitudes below f32's subnormal range, so
+#: ultra-quiet 48-bit archival frames (pathological, but the archival
+#: contract covers them) take the host's real-f64 path, which preserves
+#: them exactly. 1e-30 mirrors the ceiling: astronomically below any
+#: real audio yet far above where the emulation could lose content.
+DEVICE_F64_SAFE_MIN = 1e-30
+
+
+def _roundtrip_frame_bytes(n: int, ch: int = 2) -> int:
+    """Bytes a 48-bit archival frame moves over the device link, both
+    directions summed: full f64 coefficients out, f64 samples in (the
+    container's 6-byte truncation runs on the host — the TPU X64
+    rewrite has no f64<->u64 bitcast)."""
+    return 2 * n * ch * 8
+
+
+@functools.lru_cache(maxsize=1)
+def _deep_device_route_wins() -> bool:
+    """Measured once per process: does the on-device 48-bit archival
+    route beat the host-CPU f64 FFT on THIS rig?
+
+    The decision is link-shaped, not compute-shaped: the device route
+    moves full f64 frames both ways, so its floor is the link
+    bandwidth; the host route's floor is the host FFT. A PCIe-local
+    chip (GB/s) makes the device route ~50x cheaper than the host FFT;
+    a slow tunneled link inverts that (VERDICT r4 #2 measured 0.84x vs
+    7.06x the reference for device vs host on the tunneled rig). The
+    product probes instead of guessing:
+
+    * host side: wall time of the f64 FFT DCT on a representative
+      [16, 2048, 2] batch (the pack stage is common to both routes);
+    * device side: wall time of a ~2 MB f64 round-trip (device_put +
+      host fetch), run on a daemon thread with a timeout — a stalled
+      link must not hang the pipeline, and a probe that cannot finish
+      in time IS the answer (host wins).
+    """
+    import threading
+    import time
+
+    import numpy as np
+
+    import jax
+
+    n, ch, rows = 2048, 2, 16
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((rows, n, ch))
+
+    # host route probe: f64 FFT DCT wall on the CPU backend
+    from .dct import dct2_forward
+    with deep_device():
+        jax.block_until_ready(dct2_forward(arr, axis=1))        # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(dct2_forward(arr, axis=1))
+        host_s_per_frame = (time.perf_counter() - t0) / rows
+
+    # device route probe: f64 round-trip bytes over the link
+    box: list[float] = []
+
+    def probe() -> None:
+        dev = jax.device_put(arr)                               # h2d
+        jax.block_until_ready(dev)
+        np.asarray(dev)                                         # d2h (warm path)
+        t0 = time.perf_counter()
+        dev = jax.device_put(arr)
+        jax.block_until_ready(dev)
+        np.asarray(dev)
+        box.append(time.perf_counter() - t0)
+
+    timeout_s = max(10.0, 50.0 * rows * host_s_per_frame)
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if not box:
+        return False          # link stalled past any useful rate: host wins
+    dev_s_per_frame = box[0] / rows
+    return dev_s_per_frame < host_s_per_frame
+
 
 def deep_on_device(bits: int, n: int = 0, max_abs: float | None = None) -> bool:
     """True when a `bits`-deep archival transform of frame size `n`
@@ -64,21 +142,26 @@ def deep_on_device(bits: int, n: int = 0, max_abs: float | None = None) -> bool:
 
     The 48-bit container keeps 36 mantissa bits; XLA:TPU's emulated f64
     matmul measures ~6e-15 relative error (2^-47) — two orders below
-    one ulp of the container (2^-37) — so the 48-bit DCT runs on-chip
-    as an f64 matmul (the FFT formulation needs complex128, which TPU
-    lacks — which is also why frames beyond the matmul matrix cap must
-    stay on the host: the device would have to fall into the
+    one ulp of the container (2^-37) — so the 48-bit DCT CAN run
+    on-chip as an f64 matmul (the FFT formulation needs complex128,
+    which TPU lacks — which is also why frames beyond the matmul matrix
+    cap must stay on the host: the device would have to fall into the
     uncompilable FFT form). The 64-bit container stores the full f64
     mantissa, where matmul accumulation noise would land above the
-    container's precision: it stays on the host CPU FFT path.
+    container's precision: it always stays on the host CPU FFT path.
 
-    Opt out with FRAD_TPU_DEEP_ON_HOST=1 (restores the r3 behavior:
-    all deep depths on host). On rigs where the accelerator link is
-    slow relative to the host CPU, the host route wins end-to-end —
-    measured on the tunneled bench rig at 3509 vs 217 frames/s
-    (BENCH_DETAIL p0_stereo_48b_host vs p0_stereo_48b; the device
-    route's floor is ~50x lower on a PCIe-local chip, which is why
-    the chip remains the default on a TPU backend).
+    WHICH of the two valid 48-bit routes wins is measured, not assumed
+    (`_deep_device_route_wins`, once per process): the device route's
+    cost is the f64 link round-trip, the host route's is the CPU FFT —
+    a PCIe-local chip picks the device, a slow tunneled link picks the
+    host. Overrides: FRAD_TPU_DEEP_ON_HOST=1 forces the host route,
+    FRAD_TPU_DEEP_ON_DEVICE=1 forces the device route (no probe).
+
+    Content-magnitude guard: the emulation is built on f32 arithmetic,
+    so frames whose max |x| exceeds DEVICE_F64_SAFE_MAX (overflow ->
+    NaN, verified on hardware) or sits below DEVICE_F64_SAFE_MIN
+    (subnormal flush) always take the host's real-f64 path — decided
+    PER FRAME by every call site, batched or streaming.
 
     Note on bit-identity: the on-device stream may differ from the
     host-FFT stream in the rare coefficients that sit within transform
@@ -95,13 +178,20 @@ def deep_on_device(bits: int, n: int = 0, max_abs: float | None = None) -> bool:
 
         if n > MATMUL_MAX_N:
             return False
-    if max_abs is not None and not (max_abs <= DEVICE_F64_SAFE_MAX):
-        # beyond the f32-based emulation's range (NaN max_abs also
-        # lands here): host real-f64 only
-        return False
+    if max_abs is not None:
+        if not (max_abs <= DEVICE_F64_SAFE_MAX):
+            # beyond the f32-based emulation's range (NaN max_abs also
+            # lands here): host real-f64 only
+            return False
+        if 0.0 < max_abs < DEVICE_F64_SAFE_MIN:
+            return False
     import jax
 
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("FRAD_TPU_DEEP_ON_DEVICE"):
+        return True
+    return _deep_device_route_wins()
 
 
 def deep_device():

@@ -225,6 +225,51 @@ def _spans(rows: int, nbytes: int, target: int | None = None,
     return [(bounds[i], bounds[i + 1]) for i in range(parts)]
 
 
+def _deep_transform_batch(arr: np.ndarray, bits: int, inverse: bool,
+                          stage_prefix: str) -> np.ndarray:
+    """Archival f64 (I)DCT over a [B, n, ch] batch, routed PER FRAME.
+
+    Route parity with the per-frame engines (models/profile0._forward /
+    .digital): each frame picks the device-vs-host route from ITS OWN
+    magnitude via policy.deep_on_device, so a batch straddling the
+    emulation's safe range [DEVICE_F64_SAFE_MIN, DEVICE_F64_SAFE_MAX]
+    produces the same bytes as the streaming per-frame path (the r4
+    advisor's mixed-batch divergence). Single-route batches (every real
+    stream) still run as one call.
+    """
+    from ..models import batch as batch_mod
+    from ..ops import dct as dct_ops
+    from ..ops import policy
+
+    n = arr.shape[1]
+    b = len(arr)
+    if arr.size:
+        fmax = np.max(np.abs(arr.reshape(b, -1)), axis=1)
+    else:
+        fmax = np.zeros(b)
+    on_dev = np.fromiter((policy.deep_on_device(bits, n, float(m))
+                          for m in fmax), dtype=bool, count=b)
+    out = np.empty(arr.shape, dtype=np.float64)
+    if on_dev.any():
+        idx = np.flatnonzero(on_dev)
+        sub = arr if on_dev.all() else np.ascontiguousarray(arr[idx])
+        fn = dct_ops.idct2_forward if inverse else dct_ops.dct2_forward
+        with _stage(f"{stage_prefix}:h2d"):
+            dev = _put_concurrent(sub)
+        with _stage(f"{stage_prefix}:core"):
+            res = fn(dev, axis=1, force_matmul=True)
+        with _stage(f"{stage_prefix}:d2h"):
+            out[idx] = _fetch(res).astype(np.float64)
+    if not on_dev.all():
+        idx = np.flatnonzero(~on_dev)
+        sub = arr if not on_dev.any() else np.ascontiguousarray(arr[idx])
+        core = batch_mod.p0_decode_core if inverse else batch_mod.p0_encode_core
+        with _stage(f"{stage_prefix}:core"), policy.deep_device():
+            out[idx] = np.asarray(core(sub.astype(np.float64)),
+                                  dtype=np.float64)
+    return out
+
+
 def plan_frames(total: int, fsize: int, overlap_ratio: int, is_compact: bool
                 ) -> tuple[list[tuple[int, int]], int]:
     """Replicates the streaming engine's read plan (encoder.py:72-90).
@@ -651,27 +696,17 @@ def batch_encode(pcm: np.ndarray, profile: int, srate: int, bit_depth: int,
                                       bdi, frs[0][1], len(frs))
             with _stage("enc:core"):
                 if base_bits >= policy.DEEP_BITS:
-                    if policy.deep_on_device(
-                            base_bits, arr.shape[1],
-                            float(np.max(np.abs(arr))) if arr.size else 0.0):
-                        # 48-bit archival ON the accelerator: emulated-f64
-                        # matmul DCT (~2^-47 rel error, one ulp of the
-                        # container's 36-bit mantissa). The transfer stays
-                        # plain f64 — the TPU's X64 rewrite has no u64
-                        # bitcast, so the 6-byte truncation happens in the
-                        # (fused, threaded) host pack below.
-                        from ..ops import dct as dct_ops
-                        with _stage("enc:h2d"):
-                            dev = _put_concurrent(arr)
-                        coeffs = _fetch(dct_ops.dct2_forward(
-                            dev, axis=1, force_matmul=True)).astype(np.float64)
-                    else:
-                        # deep containers (48/64-bit) exceed f32 precision:
-                        # archival-exact f64 transform, on the CPU backend
-                        # when the default backend has no native f64
-                        with policy.deep_device():
-                            coeffs = np.asarray(batch.p0_encode_core(arr),
-                                                dtype=np.float64)
+                    # deep containers (48/64-bit) exceed f32 precision:
+                    # archival-exact f64 transform, routed PER FRAME
+                    # between the emulated-f64 matmul on the accelerator
+                    # and the host-CPU FFT (policy.deep_on_device; the
+                    # winning route is measured once per process). The
+                    # device transfer stays plain f64 — the TPU's X64
+                    # rewrite has no u64 bitcast, so the 6-byte
+                    # truncation happens in the threaded host pack below.
+                    coeffs = _deep_transform_batch(arr, base_bits,
+                                                   inverse=False,
+                                                   stage_prefix="enc")
                 else:
                     _meter("h2d", arr.nbytes // (2 if compute_dtype == "float32" else 1))
                     coeffs = _fetch(batch.p0_encode_core(
@@ -1124,26 +1159,12 @@ def _decode_run(hs: list[ASFH], ps: list[bytes], *, fix_error: bool,
                     coeffs = np.stack(list(_pool().map(unpack_one, range(run))))
             if prof == 0:
                 if bits >= policy.DEEP_BITS:
-                    if policy.deep_on_device(
-                            bits, n,
-                            float(np.max(np.abs(coeffs))) if coeffs.size else 0.0):
-                        # 48-bit archival IDCT on the accelerator
-                        # (emulated-f64 matmul; see policy.deep_on_device)
-                        from ..ops import dct as dct_ops
-                        with _stage("dec:h2d"):
-                            dev = _put_concurrent(coeffs.astype(np.float64))
-                        with _stage("dec:core"):
-                            out_d = dct_ops.idct2_forward(
-                                dev, axis=1, force_matmul=True)
-                        with _stage("dec:d2h"):
-                            frames = _fetch(out_d).astype(np.float64)
-                    else:
-                        # archival depths decode with the f64 transform (CPU
-                        # backend when the default device lacks native f64)
-                        with _stage("dec:core"), policy.deep_device():
-                            frames = np.asarray(
-                                batch.p0_decode_core(coeffs.astype(np.float64)),
-                                dtype=np.float64)
+                    # archival depths decode with the f64 transform,
+                    # routed per frame (accelerator emulated-f64 matmul
+                    # vs host-CPU FFT — policy.deep_on_device)
+                    frames = _deep_transform_batch(
+                        coeffs.astype(np.float64), bits, inverse=True,
+                        stage_prefix="dec")
                 else:
                     if compute_dtype:
                         coeffs = coeffs.astype(compute_dtype)

@@ -137,6 +137,10 @@ class TestOnDeviceDeepPath:
         from frad_python_tpu.ops.dct import MATMUL_MAX_N
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.delenv("FRAD_TPU_DEEP_ON_HOST", raising=False)
+        # force the route so the per-process link-vs-host probe is not
+        # exercised on the CPU rig; this test is about the n/magnitude
+        # guards, which apply BEFORE the route decision
+        monkeypatch.setenv("FRAD_TPU_DEEP_ON_DEVICE", "1")
         assert policy.deep_on_device(48, MATMUL_MAX_N)
         assert not policy.deep_on_device(48, MATMUL_MAX_N + 1)
         assert not policy.deep_on_device(64, MATMUL_MAX_N)
@@ -145,6 +149,10 @@ class TestOnDeviceDeepPath:
         assert policy.deep_on_device(48, 2048, 1.0)
         assert not policy.deep_on_device(48, 2048, 1e39)
         assert not policy.deep_on_device(48, 2048, float("nan"))
+        # ... and below its subnormal-flush floor (ultra-quiet archival
+        # frames must keep their content: host real-f64 only)
+        assert not policy.deep_on_device(48, 2048, 1e-35)
+        assert policy.deep_on_device(48, 2048, 0.0)   # silence: route-safe
         # and the full encode path survives an oversize 48-bit frame
         # (host FFT route) on any backend
         pcm = _pcm(1, MATMUL_MAX_N + 2048, 1)[: MATMUL_MAX_N + 2048]
@@ -153,6 +161,42 @@ class TestOnDeviceDeepPath:
         err = back - pcm
         snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(err**2), 1e-300))
         assert snr > 195
+
+    def test_mixed_magnitude_batch_splits_per_frame(self, device_deep,
+                                                    monkeypatch):
+        """A batch straddling the device route's magnitude guard must
+        split PER FRAME (r4 advisor: the batch path used to route from
+        the max over the whole batch, so one >SAFE_MAX frame either
+        dragged its in-range neighbours to the host route, or — worse —
+        rode the device route itself, where the f32-based f64 emulation
+        overflows to NaN). The spy asserts no out-of-range content ever
+        reaches the device transform while the in-range frames still
+        batch onto it."""
+        from frad_python_tpu.ops import dct as dct_ops
+        orig = dct_ops.dct2_forward
+        dev_rows = []
+
+        def spy(arr, axis=-1, force_matmul=False):
+            if force_matmul:
+                a = np.asarray(arr)
+                assert float(np.abs(a).max()) <= policy.DEVICE_F64_SAFE_MAX, \
+                    "out-of-range frame leaked onto the device route"
+                dev_rows.append(a.size)
+            return orig(arr, axis=axis, force_matmul=force_matmul)
+
+        monkeypatch.setattr(dct_ops, "dct2_forward", spy)
+        n = 512
+        pcm = _pcm(5, n, 1)[: 5 * n]
+        pcm[2 * n: 3 * n] = 1e33          # one frame beyond SAFE_MAX
+        stream = batch_encode(pcm, 0, 44100, 48, n)
+        # the four in-range frames batched onto the device route
+        assert sum(dev_rows) == 4 * n
+        out, _ = batch_decode(stream)
+        # ... and the out-of-range frame survived on the host real-f64
+        # path at archival precision
+        np.testing.assert_allclose(out[2 * n: 3 * n], pcm[2 * n: 3 * n],
+                                   rtol=1e-9)
+        np.testing.assert_allclose(out[:n], pcm[:n], rtol=1e-7, atol=1e-9)
 
     def test_escalation_into_48_stays_on_host(self, device_deep):
         # f32 overflow escalates 32 -> 48 with content BEYOND the f32
