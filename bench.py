@@ -16,6 +16,7 @@ stdout contract stays a single line.
 
 from __future__ import annotations
 
+import functools
 import json
 import pathlib
 import sys
@@ -338,67 +339,147 @@ def _run_config_inner(name: str, cfg: dict, compute_dtype: str | None,
     return res
 
 
+#: per-chip dense peak (bf16 TFLOP/s) by device_kind substring — the MFU
+#: denominator. Sources: public TPU spec sheets (v5e 197, v4 275,
+#: v5p 459, v6e/Trillium 918 bf16 TFLOP/s per chip).
+PEAK_TFLOPS_BF16 = {
+    "v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
+    "v4": 275.0, "v5p": 459.0, "v5": 459.0,
+    "v6 lite": 918.0, "v6e": 918.0,
+}
+
+
+def _device_peak_tflops() -> tuple[str, float | None]:
+    kind = jax.devices()[0].device_kind
+    low = kind.lower()
+    for key, peak in PEAK_TFLOPS_BF16.items():
+        if key in low:
+            return kind, peak
+    return kind, None
+
+
 def measure_core_fps(compute_dtype: str | None, b: int = 646,
                      n: int = 2048, ch: int = 2, srate: int = 44100,
-                     iters: int = 30) -> dict:
-    """Device-resident throughput of the fused P1 encode+decode cores on
-    the headline shape — no link DATA traffic inside the timed region
-    (dispatch latency per call remains: a conservative lower bound).
+                     k1: int = 8, k2: int = 40) -> dict:
+    """Device-resident throughput of the fused P1 cores, FLOP-accounted
+    (VERDICT r4 #1).
 
-    This is the per-chip COMPUTE capability the link-bound end-to-end
-    number hides: emitted alongside the headline so a bad-tunnel round
-    cannot read as a code regression (VERDICT r3 'weather-robust bench').
+    Method: each core is iterated inside ONE `lax.scan` program whose
+    carry feeds iteration k's output into iteration k+1's input — XLA
+    cannot eliminate the chain (a data dependency, unlike the r3 scan
+    attempt) and the tunnel's per-dispatch latency is paid once per
+    program, not once per iteration. The per-iteration wall is the SLOPE
+    between two scan lengths (k1, k2), which cancels the remaining
+    constant overhead (dispatch, transfers, scan setup) exactly. Each
+    (body, length) is timed best-of-3.
+
+    FLOPs are counted analytically from the matmuls that dominate the
+    cores (reference denominator: profile1.py:21's per-channel DCT):
+    encode = DCT [B*C, N]@[N, N] + subband [B*C, N]@[N, 27] projection;
+    decode = the inverse DCT. Elementwise work (masking, compand,
+    quant) adds O(10*B*C*N) ≈ <1% of the matmul FLOPs and is excluded,
+    keeping every reported number a LOWER bound. MFU divides by the
+    chip's public dense bf16 peak; the cores run f32 matmuls at
+    Precision.HIGHEST (6 bf16 MXU passes per f32 product), so the
+    achievable ceiling on that denominator is ~1/6 ≈ 16.7%.
     """
     import jax.numpy as jnp
+    from jax import lax
 
     from frad_python_tpu.models import batch
+    from frad_python_tpu.ops import psycho
 
     dt = jnp.float32 if compute_dtype == "float32" else jnp.float64
     pcm = make_audio(b * n / srate, srate, ch)
-    frames = jnp.asarray(
-        pcm[: b * n].reshape(b, n, ch), dtype=dt)
+    frames = jnp.asarray(pcm[: b * n].reshape(b, n, ch), dtype=dt)
     ll = jnp.asarray(0.5, dt)
     factor = jnp.asarray(2.0 ** 15, dt)
     fwd, inv = batch._mats_like(n, dt, frames)
+    eps = jnp.asarray(1e-30, dt)
 
-    # `iters` async dispatches, blocked once at the end: the wall still
-    # contains per-call dispatch latency (a remote-compile tunnel adds
-    # ~ms per call), so this is a LOWER bound on the chip's own rate —
-    # conservative by construction and robust to the environment
-    # (in-graph lax.scan variants were tried and either get eliminated
-    # by XLA or stall the remote compile helper).
-    fq, tq = batch._p1_encode_jit(frames, srate, ll, factor, fwd)
-    jax.block_until_ready((fq, tq))                       # compile + warm
-    fqf, tqf = fq.astype(dt), tq.astype(dt)
-    pcm_d = batch._p1_decode_jit(fqf, tqf, srate, factor, inv)
-    jax.block_until_ready(pcm_d)
+    fq0, tq0 = batch._p1_encode_jit(frames, srate, ll, factor, fwd)
+    fqf, tqf = fq0.astype(dt), tq0.astype(dt)
 
-    # best of 3: the dispatch stream rides the tunnel, whose per-call
-    # latency jitters — min time is the honest lower-bound estimator
-    enc_dt = dec_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            fq, tq = batch._p1_encode_jit(frames, srate, ll, factor, fwd)
-        jax.block_until_ready((fq, tq))
-        enc_dt = min(enc_dt, time.perf_counter() - t0)
+    # the DCT matrices ride as jit ARGUMENTS (closure capture would bake
+    # them in as giant HLO constants — tens of seconds of constant
+    # folding per compile, see models/batch._mats)
+    @functools.partial(jax.jit, static_argnames=("body", "length"))
+    def run(init, fwd_m, inv_m, body, length):
+        def enc_body(fr, _):
+            fq, tq = batch._p1_encode_jit.__wrapped__(
+                fr, srate, ll, factor, fwd_m)
+            # chain: the next input depends on BOTH outputs (freqs +
+            # thres), so no part of the body is dead code
+            return fr + eps * fq.astype(dt) + eps * tq.astype(dt).sum(), None
 
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            pcm_d = batch._p1_decode_jit(fqf, tqf, srate, factor, inv)
-        jax.block_until_ready(pcm_d)
-        dec_dt = min(dec_dt, time.perf_counter() - t0)
+        def dec_body(carry, _):
+            fr, th = carry
+            pcm_d = batch._p1_decode_jit.__wrapped__(
+                fr, th, srate, factor, inv_m)
+            return (fr + eps * pcm_d, th), None
 
-    enc_fps = b * iters / enc_dt
-    dec_fps = b * iters / dec_dt
-    both = b * iters / (enc_dt + dec_dt)
-    print(f"on-chip core: encode {enc_fps:,.0f} f/s, decode {dec_fps:,.0f} "
-          f"f/s, encode+decode {both:,.0f} f/s (B={b}, N={n}, {iters} iters)",
-          file=sys.stderr)
-    return {"core_encode_fps": round(enc_fps, 1),
+        def both_body(fr, _):
+            fq, tq = batch._p1_encode_jit.__wrapped__(
+                fr, srate, ll, factor, fwd_m)
+            pcm_d = batch._p1_decode_jit.__wrapped__(
+                fq.astype(dt), tq.astype(dt), srate, factor, inv_m)
+            return pcm_d, None      # decoded PCM IS the next encode input
+
+        out, _ = lax.scan({"enc": enc_body, "dec": dec_body,
+                           "both": both_body}[body], init, None,
+                          length=length, unroll=1)
+        return out
+
+    def slope_s(body, init) -> float:
+        walls = {}
+        for k in (k1, k2):
+            jax.block_until_ready(run(init, fwd, inv, body, k))  # compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(init, fwd, inv, body, k))
+                best = min(best, time.perf_counter() - t0)
+            walls[k] = best
+        return max((walls[k2] - walls[k1]) / (k2 - k1), 1e-12)
+
+    enc_s = slope_s("enc", frames)
+    dec_s = slope_s("dec", (fqf, tqf))
+    both_s = slope_s("both", frames)
+
+    # analytic matmul FLOPs per frame (2 FLOP per MAC)
+    nb = psycho._mask_consts(n, srate)[1]
+    f_enc = 2 * ch * n * n + 2 * ch * n * nb
+    f_dec = 2 * ch * n * n
+    enc_fps, dec_fps, both_fps = b / enc_s, b / dec_s, b / both_s
+    kind, peak = _device_peak_tflops()
+    tflops = {"enc": enc_fps * f_enc / 1e12, "dec": dec_fps * f_dec / 1e12,
+              "both": both_fps * (f_enc + f_dec) / 1e12}
+    print(f"on-chip core (chained lax.scan, slope {k1}->{k2}): "
+          f"encode {enc_fps:,.0f} f/s ({tflops['enc']:.2f} TFLOP/s), "
+          f"decode {dec_fps:,.0f} f/s ({tflops['dec']:.2f}), "
+          f"encode+decode {both_fps:,.0f} f/s ({tflops['both']:.2f}) "
+          f"on {kind} (B={b}, N={n})", file=sys.stderr)
+    core = {"core_encode_fps": round(enc_fps, 1),
             "core_decode_fps": round(dec_fps, 1),
-            "core_encode_decode_fps": round(both, 1),
-            "core_batch": b, "core_iters": iters}
+            "core_encode_decode_fps": round(both_fps, 1),
+            "core_batch": b, "scan_iters": [k1, k2],
+            "method": "lax.scan carry-chained, per-iter wall = slope of "
+                      "two scan lengths (constant overhead cancels)",
+            "flops_per_frame": {"encode": f_enc, "decode": f_dec},
+            "tflops": {k: round(v, 3) for k, v in tflops.items()},
+            "device_kind": kind,
+            "matmul_precision": ("HIGHEST (6 bf16 passes per f32 product)"
+                                 if dt == jnp.float32
+                                 else "f64 FFT formulation (no MXU matmul)")}
+    if peak:
+        core["peak_tflops_bf16"] = peak
+        core["mfu_pct"] = {k: round(100 * v / peak, 2)
+                           for k, v in tflops.items()}
+        print(f"  MFU vs {peak:.0f} bf16-peak TFLOP/s: "
+              f"enc {core['mfu_pct']['enc']}%, dec {core['mfu_pct']['dec']}%, "
+              f"both {core['mfu_pct']['both']}% (HIGHEST-precision ceiling "
+              f"~16.7%)", file=sys.stderr)
+    return core
 
 
 def annotate_link(name: str, acct: dict, link: dict) -> None:

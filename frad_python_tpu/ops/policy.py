@@ -56,13 +56,16 @@ def transform_dtype(bits: int) -> str:
 #: emulation's overflow with any frame size <= 2^20.
 DEVICE_F64_SAFE_MAX = 1e30
 
-#: Symmetric magnitude FLOOR for the on-device route: the same f32-based
-#: emulation flushes magnitudes below f32's subnormal range, so
-#: ultra-quiet 48-bit archival frames (pathological, but the archival
-#: contract covers them) take the host's real-f64 path, which preserves
-#: them exactly. 1e-30 mirrors the ceiling: astronomically below any
-#: real audio yet far above where the emulation could lose content.
-DEVICE_F64_SAFE_MIN = 1e-30
+#: Symmetric magnitude FLOOR for the on-device route. Measured on
+#: hardware (v5e, r5): the f32-based f64 emulation degrades long before
+#: the flush — at input magnitude 1e-20 the matmul's relative error is
+#: already 2.3e-10 (vs 6e-15 at magnitude 1; the emulation's f32 cross
+#: terms fall into subnormal territory), at 1e-35 results are garbage,
+#: and at <=1e-40 every output flushes to exactly zero. Ultra-quiet
+#: 48-bit archival frames therefore take the host's real-f64 path.
+#: 1e-12 sits ~6 orders above the measured degradation onset yet
+#: astronomically below any real audio (24-bit dither floor ~1e-8).
+DEVICE_F64_SAFE_MIN = 1e-12
 
 
 def _roundtrip_frame_bytes(n: int, ch: int = 2) -> int:

@@ -152,6 +152,7 @@ class TestOnDeviceDeepPath:
         # ... and below its subnormal-flush floor (ultra-quiet archival
         # frames must keep their content: host real-f64 only)
         assert not policy.deep_on_device(48, 2048, 1e-35)
+        assert not policy.deep_on_device(48, 2048, 1e-13)
         assert policy.deep_on_device(48, 2048, 0.0)   # silence: route-safe
         # and the full encode path survives an oversize 48-bit frame
         # (host FFT route) on any backend
