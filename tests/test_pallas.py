@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from frad_python_tpu.ops import pallas_kernels as pk
+from frad_python_tpu.research import pallas_kernels as pk
 
 rng = np.random.default_rng(17)
 
