@@ -384,6 +384,18 @@ PEAK_TFLOPS_BF16 = {
 }
 
 
+def _lossy_precision_label() -> str:
+    """Resolved MXU precision of the lossy cores + its MFU ceiling."""
+    from jax import lax
+
+    from frad_python_tpu.ops import policy
+    p = policy.lossy_matmul_precision()
+    return {lax.Precision.DEFAULT: "DEFAULT (1 bf16 pass; MFU ceiling 100%)",
+            lax.Precision.HIGH: "HIGH (3 bf16 passes; MFU ceiling ~33%)",
+            lax.Precision.HIGHEST:
+                "HIGHEST (6 bf16 passes; MFU ceiling ~16.7%)"}[p]
+
+
 def _device_peak_tflops() -> tuple[str, float | None]:
     kind = jax.devices()[0].device_kind
     low = kind.lower()
@@ -414,9 +426,10 @@ def measure_core_fps(compute_dtype: str | None, b: int = 646,
     decode = the inverse DCT. Elementwise work (masking, compand,
     quant) adds O(10*B*C*N) ≈ <1% of the matmul FLOPs and is excluded,
     keeping every reported number a LOWER bound. MFU divides by the
-    chip's public dense bf16 peak; the cores run f32 matmuls at
-    Precision.HIGHEST (6 bf16 MXU passes per f32 product), so the
-    achievable ceiling on that denominator is ~1/6 ≈ 16.7%.
+    chip's public dense bf16 peak; the achievable ceiling depends on
+    the lossy cores' resolved MXU precision
+    (policy.lossy_matmul_precision: DEFAULT = 1 bf16 pass -> 100%,
+    HIGH -> ~33%, HIGHEST -> ~16.7%), reported alongside.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -503,7 +516,7 @@ def measure_core_fps(compute_dtype: str | None, b: int = 646,
             "flops_per_frame": {"encode": f_enc, "decode": f_dec},
             "tflops": {k: round(v, 3) for k, v in tflops.items()},
             "device_kind": kind,
-            "matmul_precision": ("HIGHEST (6 bf16 passes per f32 product)"
+            "matmul_precision": (_lossy_precision_label()
                                  if dt == jnp.float32
                                  else "f64 FFT formulation (no MXU matmul)")}
     if peak:
@@ -512,8 +525,8 @@ def measure_core_fps(compute_dtype: str | None, b: int = 646,
                            for k, v in tflops.items()}
         print(f"  MFU vs {peak:.0f} bf16-peak TFLOP/s: "
               f"enc {core['mfu_pct']['enc']}%, dec {core['mfu_pct']['dec']}%, "
-              f"both {core['mfu_pct']['both']}% (HIGHEST-precision ceiling "
-              f"~16.7%)", file=sys.stderr)
+              f"both {core['mfu_pct']['both']}% "
+              f"[{core['matmul_precision']}]", file=sys.stderr)
     return core
 
 

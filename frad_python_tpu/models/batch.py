@@ -288,9 +288,14 @@ def p1_encode_core(frames, srate: int, loss_level, factor):
 @functools.partial(jax.jit, static_argnames=("srate",))
 def _p1_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
                    factor: jax.Array, fwd):
+    from ..ops import policy
+
     n = frames.shape[1]
     x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
-    freqs = _dct2_impl(x, _use_matmul(n, x.dtype), fwd)
+    # lossy profile: masking noise dominates, so the DCT may trade MXU
+    # passes for rate (policy.lossy_matmul_precision, measured r5)
+    freqs = _dct2_impl(x, _use_matmul(n, x.dtype), fwd,
+                       precision=policy.lossy_matmul_precision())
 
     thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
@@ -355,7 +360,9 @@ def _p1_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array, srate: int,
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
     freqs = masked * div
 
-    pcm = _idct2_impl(freqs, _use_matmul(n, freqs.dtype), inv)
+    from ..ops import policy
+    pcm = _idct2_impl(freqs, _use_matmul(n, freqs.dtype), inv,
+                      precision=policy.lossy_matmul_precision())
     return jnp.swapaxes(pcm, 1, 2)
 
 
@@ -378,11 +385,12 @@ def p2_encode_core(frames, srate: int, loss_level, factor):
 @functools.partial(jax.jit, static_argnames=("srate",))
 def _p2_encode_jit(frames: jax.Array, srate: int, loss_level: jax.Array,
                    factor: jax.Array, fwd):
-    from ..ops import tns_jax
+    from ..ops import policy, tns_jax
 
     n = frames.shape[1]
     x = jnp.swapaxes(frames, 1, 2)                             # [B, C, N]
-    freqs = _dct2_impl(x, _use_matmul(n, x.dtype), fwd)
+    freqs = _dct2_impl(x, _use_matmul(n, x.dtype), fwd,
+                       precision=policy.lossy_matmul_precision())
 
     thres = psycho.mask_thres_mos_jnp(jnp.abs(freqs) * factor, srate, loss_level)
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
@@ -440,7 +448,9 @@ def _p2_decode_jit(freqs_flat: jax.Array, thres_flat: jax.Array,
     div = psycho.mapping_from_opus_jnp(thres, n, srate)
     freqs = tns_jax.tns_synthesis(masked, lpc_c) * div
 
-    pcm = _idct2_impl(freqs, _use_matmul(n, freqs.dtype), inv)
+    from ..ops import policy
+    pcm = _idct2_impl(freqs, _use_matmul(n, freqs.dtype), inv,
+                      precision=policy.lossy_matmul_precision())
     return jnp.swapaxes(pcm, 1, 2)
 
 

@@ -179,23 +179,31 @@ def _device_matrices_cached(n: int, dtype_name: str) -> tuple[jax.Array, jax.Arr
     return jax.device_put(fwd), jax.device_put(inv)
 
 
-def _dct2_impl(x: jax.Array, use_matmul: bool, mat: jax.Array | None = None) -> jax.Array:
-    """Traced helper (call inside jit): forward-normalised DCT-II."""
+def _dct2_impl(x: jax.Array, use_matmul: bool, mat: jax.Array | None = None,
+               precision=None) -> jax.Array:
+    """Traced helper (call inside jit): forward-normalised DCT-II.
+
+    `precision` defaults to HIGHEST (the lossless contract); the lossy
+    cores pass `policy.lossy_matmul_precision()` — masking noise sits
+    orders above matmul rounding there (measured, see policy.py)."""
     n = x.shape[-1]
     if use_matmul:
         if mat is None:
             mat, _ = _dct_matrices(n, str(x.dtype))
-        return jnp.matmul(x, mat, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(x, mat,
+                          precision=precision or jax.lax.Precision.HIGHEST)
     return _fft_dct2(x) / (2.0 * n)
 
 
-def _idct2_impl(y: jax.Array, use_matmul: bool, mat: jax.Array | None = None) -> jax.Array:
+def _idct2_impl(y: jax.Array, use_matmul: bool, mat: jax.Array | None = None,
+                precision=None) -> jax.Array:
     """Traced helper (call inside jit): inverse of `_dct2_impl`."""
     n = y.shape[-1]
     if use_matmul:
         if mat is None:
             _, mat = _dct_matrices(n, str(y.dtype))
-        return jnp.matmul(y, mat, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(y, mat,
+                          precision=precision or jax.lax.Precision.HIGHEST)
     return _fft_idct2(y * (2.0 * n))
 
 

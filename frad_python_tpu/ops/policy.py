@@ -33,6 +33,41 @@ def compute_dtype() -> str:
 DEEP_BITS = 48
 
 
+@functools.lru_cache(maxsize=1)
+def lossy_matmul_precision():
+    """MXU precision for the LOSSY (P1/P2) transform matmuls.
+
+    The lossless profiles keep Precision.HIGHEST (the 24-bit container
+    needs full-f32 transform accuracy). The lossy profiles' quality is
+    set by psychoacoustic masking (~17 dB SNR at loss 0.5), orders of
+    magnitude above any matmul rounding, so their DCT/IDCT can trade
+    precision for MXU passes. Measured on the v5e (r5, chained-scan
+    method, B=646 N=2048 stereo): encode core 1.50M f/s at HIGHEST ->
+    2.04M at HIGH (-0.0002 dB SNR) -> 3.02M at DEFAULT (-0.008 dB
+    SNR); decode core 1.06M -> 1.91M -> 2.54M f/s (-0.0003 dB at
+    DEFAULT). bench additionally flags any config whose SNR lands
+    >0.1 dB below the reference. DEFAULT (one bf16 MXU pass) is
+    therefore the TPU default; f32 matmuls on CPU have no
+    reduced-precision mode, so the setting is inert there and CPU
+    streams are unchanged.
+
+    Override with FRAD_TPU_LOSSY_PRECISION=default|high|highest
+    (resolved once per process at first compile).
+    """
+    from jax import lax
+
+    name = os.environ.get("FRAD_TPU_LOSSY_PRECISION", "").lower()
+    table = {"default": lax.Precision.DEFAULT,
+             "high": lax.Precision.HIGH,
+             "highest": lax.Precision.HIGHEST}
+    if name in table:
+        return table[name]
+    import jax
+
+    return (lax.Precision.DEFAULT if jax.default_backend() == "tpu"
+            else lax.Precision.HIGHEST)
+
+
 def transform_dtype(bits: int) -> str:
     """Dtype for a LOSSLESS transform targeting a `bits`-deep container.
 

@@ -336,3 +336,55 @@ class TestDevicePack:
             np.asarray(bitpack.pcm_to_i24_words(pcm)))
         np.testing.assert_allclose(back.ravel(),
                                    [(2**23 - 1) / 2**23, -1.0, 0.5, -0.5])
+
+
+class TestLossyPrecisionPolicy:
+    def test_env_resolution(self, monkeypatch):
+        """FRAD_TPU_LOSSY_PRECISION resolves to the named Precision; the
+        backend default is DEFAULT on TPU (measured r5: 2x encode core
+        for -0.008 dB SNR) and HIGHEST elsewhere (inert on CPU f32)."""
+        from jax import lax
+
+        from frad_python_tpu.ops import policy
+        try:
+            for name, want in (("high", lax.Precision.HIGH),
+                               ("highest", lax.Precision.HIGHEST),
+                               ("default", lax.Precision.DEFAULT)):
+                policy.lossy_matmul_precision.cache_clear()
+                monkeypatch.setenv("FRAD_TPU_LOSSY_PRECISION", name)
+                assert policy.lossy_matmul_precision() == want
+            policy.lossy_matmul_precision.cache_clear()
+            monkeypatch.delenv("FRAD_TPU_LOSSY_PRECISION")
+            assert policy.lossy_matmul_precision() == lax.Precision.HIGHEST
+        finally:
+            policy.lossy_matmul_precision.cache_clear()
+
+    def test_core_ints_unchanged_on_cpu(self, monkeypatch):
+        """On the CPU backend the precision setting must not change the
+        quantised outputs (f32/f64 dots have no reduced-precision
+        mode). Eager (__wrapped__) calls so each run re-resolves the
+        policy — a jitted call would hit the compiled cache and prove
+        nothing."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from frad_python_tpu.models import batch
+        from frad_python_tpu.ops import policy
+        rng2 = np.random.default_rng(11)
+        frames = jnp.asarray(rng2.standard_normal((4, 512, 2)),
+                             jnp.float32)
+        ll = jnp.asarray(0.5, jnp.float32)
+        factor = jnp.asarray(2.0 ** 15, jnp.float32)
+        fwd, _ = batch._mats_like(512, jnp.float32, frames)
+        outs = {}
+        try:
+            for name in ("highest", "default"):
+                policy.lossy_matmul_precision.cache_clear()
+                monkeypatch.setenv("FRAD_TPU_LOSSY_PRECISION", name)
+                fq, tq = batch._p1_encode_jit.__wrapped__(
+                    frames, 48000, ll, factor, fwd)
+                outs[name] = (np.asarray(fq), np.asarray(tq))
+        finally:
+            policy.lossy_matmul_precision.cache_clear()
+        np.testing.assert_array_equal(outs["highest"][0], outs["default"][0])
+        np.testing.assert_array_equal(outs["highest"][1], outs["default"][1])
