@@ -184,8 +184,16 @@ def mapping_from_opus_jnp(mapped_thres, freqs_len: int, srate: int):
 
 
 def quant_jnp(x):
+    """sign(x)*|x|^0.75 as sqrt(|x|*sqrt(|x|)) — two VPU sqrts instead
+    of the transcendental pow (exp o log). Measured on the v5e (r5,
+    paired in-process A/B on the product encode body): 2.10M -> 3.55M
+    frames/s (+69%) with ZERO changes in the rint'd integer symbols
+    over 2.6M samples of bench audio (sqrt is correctly rounded; the
+    compositions differ by <=1 ulp). The inverse (dequant) keeps pow:
+    the x*cbrt(|x|) form measured SLOWER than pow on this chip."""
     import jax.numpy as jnp
-    return jnp.sign(x) * jnp.abs(x) ** QUANT_ALPHA
+    a = jnp.abs(x)
+    return jnp.sign(x) * jnp.sqrt(a * jnp.sqrt(a))
 
 
 def dequant_jnp(x):

@@ -240,3 +240,18 @@ class TestPipelineDeepDepth:
         # coefficient x sqrt(N)); the f32 path would have produced inf here
         np.testing.assert_allclose(out[600:700], pcm[600:700], rtol=1e-7)
         assert np.all(np.isfinite(out))
+
+
+class TestDeepRouteProbe:
+    def test_probe_returns_bool_and_caches(self):
+        """_deep_device_route_wins must complete (CPU rig: 'device' is
+        the same host, probe finishes immediately), return a bool, and
+        cache — the product calls it per frame."""
+        policy._deep_device_route_wins.cache_clear()
+        try:
+            r1 = policy._deep_device_route_wins()
+            assert isinstance(r1, bool)
+            assert policy._deep_device_route_wins() == r1
+            assert policy._deep_device_route_wins.cache_info().hits >= 1
+        finally:
+            policy._deep_device_route_wins.cache_clear()
