@@ -777,6 +777,12 @@ def main() -> None:
                                     "d2h": round(link["d2h_MBps"], 1)}
     if core:
         out["core_frames_per_s"] = core["core_encode_decode_fps"]
+        # FLOP accounting in the driver artifact itself (VERDICT r4 #1):
+        # a core number that exceeds the chip's physics is self-evident
+        out["core"] = {k: core[k] for k in
+                       ("device_kind", "tflops", "mfu_pct",
+                        "peak_tflops_bf16", "matmul_precision")
+                       if k in core}
     if head.get("pass_spread_pct") is not None:
         out["pass_spread_pct"] = head["pass_spread_pct"]
     if head.get("stall_count") is not None:
