@@ -125,6 +125,9 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
     use_turbo = params.turbo if params.turbo is not None else (
         not rpipe and not play
         and os.path.getsize(input_path) < (1 << 29))
+    if params.exact:
+        # bit-exact per-frame mode forfeits every batched fast path
+        use_turbo = False
     if use_turbo and not rpipe and not play:
         stream = readfile.read()
         no = 0
@@ -144,7 +147,8 @@ def decode(input_path: str, params: CliParams, play: bool = False) -> None:
         _log(params.loglevel, info, True, ASFH())
         return
 
-    decoder = Decoder(params.enable_ecc)
+    decoder = Decoder(params.enable_ecc,
+                      exact=True if params.exact else None)
     no = 0
     # deep reads let the decoder micro-batch frame drains into fused
     # device dispatches (Decoder._drain_pending); playback and pipes

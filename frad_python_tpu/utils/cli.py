@@ -49,6 +49,7 @@ class CliParams:
         self.loglevel = 0
         self.speed = 1.0
         self.turbo: bool | None = None   # None = auto (regular files)
+        self.exact = False               # bit-exact per-frame decoding
 
     def set_meta_from_json(self, path: str) -> None:
         """JSONMeta format: [{"key": .., "type": "string"|"base64", "value": ..}]."""
@@ -96,6 +97,10 @@ _FLAG_HANDLERS = {
     ("keys", "key", "k"): lambda p, a: setattr(p, "speed", 2 ** (float(a.pop(0)) / 12)),
     ("turbo", "batch"): lambda p, a: setattr(p, "turbo", True),
     ("no-turbo", "streaming"): lambda p, a: setattr(p, "turbo", False),
+    # strictly per-frame decoding: bit-identical output at every push
+    # granularity, the reference's exact chunk invariance
+    # (Decoder(exact=True); forfeits the micro-batched fast path)
+    ("exact",): lambda p, a: setattr(p, "exact", True),
 }
 
 

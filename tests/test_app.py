@@ -140,6 +140,30 @@ class TestEndToEnd:
                   "-o", str(out), "-y"] + extra)
         assert a.read_bytes() == b.read_bytes()
 
+    def test_exact_decode_matches_per_frame_engine(self, tone_pcm, tmp_path):
+        """--exact must take the strictly per-frame Decoder path:
+        output bit-identical to a hand-driven Decoder(exact=True) fed
+        in uneven chunks (the reference's exact chunk invariance)."""
+        from frad_python_tpu import Decoder
+        pcm_path, _ = tone_pcm
+        frad = tmp_path / "x.frad"
+        main(["frad-tpu", "encode", str(pcm_path), "--srate", "44100",
+              "--ch", "2", "--pcm", "s16be", "--profile", "1",
+              "-o", str(frad), "-y"])
+        out = tmp_path / "xb"
+        main(["frad-tpu", "decode", str(frad), "--pcm", "s16be",
+              "--exact", "-o", str(out), "-y"])
+        got = np.frombuffer((tmp_path / "xb.pcm").read_bytes(), ">i2")
+
+        d = Decoder(exact=True)
+        stream = frad.read_bytes()
+        parts = [d.process(stream[i:i + 997]).pcm
+                 for i in range(0, len(stream), 997)]
+        parts.append(d.flush().pcm)
+        ref = np.concatenate([p for p in parts if p.size])
+        want = np.clip(ref * 32768.0, -(2 ** 15), 2 ** 15 - 1).astype(">i2")
+        np.testing.assert_array_equal(got, want.ravel())
+
     def test_meta_roundtrip(self, tone_pcm, tmp_path, monkeypatch):
         pcm_path, _ = tone_pcm
         frad = tmp_path / "m.frad"
