@@ -92,14 +92,16 @@ def transform_dtype(bits: int) -> str:
 DEVICE_F64_SAFE_MAX = 1e30
 
 #: Symmetric magnitude FLOOR for the on-device route. Measured on
-#: hardware (v5e, r5): the f32-based f64 emulation degrades long before
-#: the flush — at input magnitude 1e-20 the matmul's relative error is
-#: already 2.3e-10 (vs 6e-15 at magnitude 1; the emulation's f32 cross
-#: terms fall into subnormal territory), at 1e-35 results are garbage,
-#: and at <=1e-40 every output flushes to exactly zero. Ultra-quiet
+#: hardware (v5e, r5, two independent draws at n=256): the emulation's
+#: worst-element relative error is flat (~0.5-2e-12, cancellation-
+#: dominated) for input magnitudes 1.0 down to 1e-18, degrades from
+#: ~1e-20 (7e-12 .. 2.3e-10 depending on content — the f32 cross terms
+#: fall into subnormal territory), is garbage by 1e-35 (rel err ~1e3),
+#: and flushes every output to exactly zero at <=1e-40. Ultra-quiet
 #: 48-bit archival frames therefore take the host's real-f64 path.
-#: 1e-12 sits ~6 orders above the measured degradation onset yet
-#: astronomically below any real audio (24-bit dither floor ~1e-8).
+#: 1e-12 sits ~8 orders above the catastrophic zone, comfortably above
+#: the onset, and astronomically below any real audio (24-bit dither
+#: floor ~1e-8).
 DEVICE_F64_SAFE_MIN = 1e-12
 
 
