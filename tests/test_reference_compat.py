@@ -279,6 +279,7 @@ def _random_config(r: np.random.Generator) -> dict:
                         r.choice([(96, 24), (32, 8), (120, 10), (10, 2)])),
         overlap=int(r.choice([2, 4, 16, 64, 256])),
         loss_level=float(r.choice([0.125, 0.25, 0.5, 1.0, 2.0])),
+        little_endian=bool(r.random() < 0.3),
         nsamples=int(r.integers(3000, 16000)),
     )
     return cfg
@@ -289,6 +290,8 @@ def _build(encoder_cls, cfg):
                       cfg["bits"], cfg["fsize"], "f64be")
     if cfg["ecc"]:
         enc.set_ecc(True, cfg["ecc_ratio"])
+    if cfg.get("little_endian"):
+        enc.set_little_endian(True)
     if cfg["profile"] == 1:
         enc.set_overlap_ratio(cfg["overlap"])
         enc.set_loss_level(cfg["loss_level"])
