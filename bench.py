@@ -407,7 +407,7 @@ def _device_peak_tflops() -> tuple[str, float | None]:
 
 def measure_core_fps(compute_dtype: str | None, b: int = 646,
                      n: int = 2048, ch: int = 2, srate: int = 44100,
-                     k1: int = 8, k2: int = 40) -> dict:
+                     k1: int = 8, k2: int = 64) -> dict:
     """Device-resident throughput of the fused P1 cores, FLOP-accounted
     (VERDICT r4 #1).
 
@@ -478,50 +478,83 @@ def measure_core_fps(compute_dtype: str | None, b: int = 646,
                           length=length, unroll=1)
         return out
 
-    def slope_s(body, init) -> float:
+    def slope_s(body, init, ka: int, kb: int, reps: int = 4) -> float:
         walls = {}
-        for k in (k1, k2):
+        for k in (ka, kb):
             jax.block_until_ready(run(init, fwd, inv, body, k))  # compile
             best = float("inf")
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 jax.block_until_ready(run(init, fwd, inv, body, k))
                 best = min(best, time.perf_counter() - t0)
             walls[k] = best
-        return max((walls[k2] - walls[k1]) / (k2 - k1), 1e-12)
-
-    enc_s = slope_s("enc", frames)
-    dec_s = slope_s("dec", (fqf, tqf))
-    both_s = slope_s("both", frames)
+        return max((walls[kb] - walls[ka]) / (kb - ka), 1e-12)
 
     # analytic matmul FLOPs per frame (2 FLOP per MAC)
     nb = psycho._mask_consts(n, srate)[1]
     f_enc = 2 * ch * n * n + 2 * ch * n * nb
     f_dec = 2 * ch * n * n
-    enc_fps, dec_fps, both_fps = b / enc_s, b / dec_s, b / both_s
     kind, peak = _device_peak_tflops()
+
+    def measure(body, init, flops_per_frame: int) -> tuple[float, int]:
+        """fps via the slope method, VALIDATED against physics: a slope
+        smaller than the dispatch jitter reads as an impossibly high
+        rate, so any reading above the chip's dense bf16 peak widens
+        the scan spread (jitter stays constant, compute delta grows)
+        and re-measures; if it still exceeds peak the reading is
+        clamped out (fps=0 -> reported null) rather than published."""
+        kb = k2
+        for _ in range(3):
+            s = slope_s(body, init, k1, kb)
+            fps = b / s
+            if peak is None or fps * flops_per_frame / 1e12 <= peak:
+                return fps, kb
+            print(f"  core[{body}]: slope at k2={kb} reads "
+                  f"{fps * flops_per_frame / 1e12:.0f} TFLOP/s > peak "
+                  f"{peak:.0f} — jitter-corrupted, widening scan",
+                  file=sys.stderr)
+            kb *= 4
+        return 0.0, kb
+
+    enc_fps, enc_kb = measure("enc", frames, f_enc)
+    dec_fps, dec_kb = measure("dec", (fqf, tqf), f_dec)
+    both_fps, both_kb = measure("both", frames, f_enc + f_dec)
     tflops = {"enc": enc_fps * f_enc / 1e12, "dec": dec_fps * f_dec / 1e12,
               "both": both_fps * (f_enc + f_dec) / 1e12}
-    print(f"on-chip core (chained lax.scan, slope {k1}->{k2}): "
-          f"encode {enc_fps:,.0f} f/s ({tflops['enc']:.2f} TFLOP/s), "
-          f"decode {dec_fps:,.0f} f/s ({tflops['dec']:.2f}), "
-          f"encode+decode {both_fps:,.0f} f/s ({tflops['both']:.2f}) "
+    invalid = sorted(k for k, v in
+                     (("enc", enc_fps), ("dec", dec_fps),
+                      ("both", both_fps)) if v == 0.0)
+
+    def fmt(v: float) -> str:
+        return f"{v:,.0f}" if v else "UNMEASURABLE(jitter)"
+
+    print(f"on-chip core (chained lax.scan, slope {k1}->"
+          f"{enc_kb}/{dec_kb}/{both_kb}): "
+          f"encode {fmt(enc_fps)} f/s ({tflops['enc']:.2f} TFLOP/s), "
+          f"decode {fmt(dec_fps)} f/s ({tflops['dec']:.2f}), "
+          f"encode+decode {fmt(both_fps)} f/s ({tflops['both']:.2f}) "
           f"on {kind} (B={b}, N={n})", file=sys.stderr)
-    core = {"core_encode_fps": round(enc_fps, 1),
-            "core_decode_fps": round(dec_fps, 1),
-            "core_encode_decode_fps": round(both_fps, 1),
-            "core_batch": b, "scan_iters": [k1, k2],
+    core = {"core_encode_fps": round(enc_fps, 1) or None,
+            "core_decode_fps": round(dec_fps, 1) or None,
+            "core_encode_decode_fps": round(both_fps, 1) or None,
+            "core_batch": b,
+            "scan_iters": [k1, {"enc": enc_kb, "dec": dec_kb,
+                                "both": both_kb}],
             "method": "lax.scan carry-chained, per-iter wall = slope of "
-                      "two scan lengths (constant overhead cancels)",
+                      "two scan lengths (constant overhead cancels); "
+                      "readings above the chip's peak are re-measured at "
+                      "wider spreads and dropped as null if they persist",
             "flops_per_frame": {"encode": f_enc, "decode": f_dec},
-            "tflops": {k: round(v, 3) for k, v in tflops.items()},
+            "tflops": {k: round(v, 3) or None for k, v in tflops.items()},
             "device_kind": kind,
             "matmul_precision": (_lossy_precision_label()
                                  if dt == jnp.float32
                                  else "f64 FFT formulation (no MXU matmul)")}
+    if invalid:
+        core["unmeasurable"] = invalid
     if peak:
         core["peak_tflops_bf16"] = peak
-        core["mfu_pct"] = {k: round(100 * v / peak, 2)
+        core["mfu_pct"] = {k: round(100 * v / peak, 2) or None
                            for k, v in tflops.items()}
         print(f"  MFU vs {peak:.0f} bf16-peak TFLOP/s: "
               f"enc {core['mfu_pct']['enc']}%, dec {core['mfu_pct']['dec']}%, "
