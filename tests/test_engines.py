@@ -444,3 +444,56 @@ class TestEngineState:
         got = np.concatenate([p for p in (p1, p2, p3) if p.size])
         ref = decode_all(Decoder(), stream)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestAdversarialInput:
+    """The engines must never raise on hostile bytes — the reference's
+    failure model (resync + zero-fill + passthrough) means ANY byte
+    sequence is a valid input that produces a best-effort output."""
+
+    def test_random_bytes_never_crash(self):
+        from frad_python_tpu import Repairer
+        r = np.random.default_rng(99)
+        for seed in range(8):
+            junk = r.integers(0, 256, size=int(r.integers(10, 60000)),
+                              dtype=np.uint8).tobytes()
+            d = Decoder(fix_error=True)
+            d.process(junk)
+            d.flush()
+            rep = Repairer()
+            out = rep.process(junk) + rep.flush()
+            assert isinstance(out, bytes)
+
+    def test_random_truncations_never_crash(self):
+        """A valid stream cut at arbitrary positions (and the tail fed
+        later) must decode without raising, on both decoder modes."""
+        _, raw = make_pcm(seconds=0.3)
+        enc = Encoder(1, 44100, 2, 16, 1024, "f64be")
+        enc.set_overlap_ratio(16)
+        enc.set_ecc(True, (96, 24))
+        stream = encode_all(enc, raw)
+        r = np.random.default_rng(7)
+        cuts = sorted(int(c) for c in r.integers(1, len(stream), size=6))
+        for exact in (False, True):
+            d = Decoder(fix_error=True, exact=exact)
+            prev = 0
+            for c in cuts + [len(stream)]:
+                d.process(stream[prev:c])
+                prev = c
+            d.flush()
+
+    def test_bitflip_storm_never_crashes(self):
+        """Heavy corruption (1% of bytes flipped) beyond RS capacity:
+        decode must still terminate cleanly with best-effort output."""
+        _, raw = make_pcm(seconds=0.3)
+        enc = Encoder(1, 44100, 2, 16, 1024, "f64be")
+        enc.set_ecc(True, (96, 24))
+        stream = bytearray(encode_all(enc, raw))
+        r = np.random.default_rng(3)
+        for off in r.integers(0, len(stream), size=len(stream) // 100):
+            stream[int(off)] ^= int(r.integers(1, 256))
+        d = Decoder(fix_error=True)
+        out = [d.process(bytes(stream)).pcm, d.flush().pcm]
+        got = np.concatenate([p for p in out if p.size]) if any(
+            p.size for p in out) else np.empty((0, 2))
+        assert np.all(np.isfinite(got))
