@@ -348,6 +348,42 @@ def test_random_config_differential_fuzz(reference, seed):
                                    err_msg=f"repair cross-check, cfg={cfg}")
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_random_p2_kernel_differential_fuzz(reference, seed):
+    """Randomised P2 cross-check at the kernel+container level (P2 is
+    excluded from AVAILABLE in both implementations, so streams are
+    assembled via `_p2_stream`): random (bits, srate, fsize, loss),
+    encode with both implementations, decode each stream with both."""
+    import libfrad.fourier.profile2 as ref_p2
+
+    from frad_python_tpu.container.asfh import ASFH
+    from frad_python_tpu.models import profile2
+
+    r = np.random.default_rng(500 + seed)
+    bits = int(r.choice([8, 12, 16, 24]))
+    srate = int(r.choice([22050, 44100, 48000]))
+    fsize = int(r.choice([512, 1024, 2048]))
+    ll = float(r.choice([0.25, 0.5, 1.0]))
+    n = int(fsize * int(r.integers(3, 7)))
+    t = np.arange(n) / srate
+    sig = np.stack([0.4 * np.sin(2 * np.pi * (200 + 70 * c) * t)
+                    for c in range(2)], axis=1) \
+        + 0.003 * r.standard_normal((n, 2))
+
+    s_our = _p2_stream(profile2.analogue, ASFH, sig, bits=bits,
+                       srate=srate, ll=ll, fsize=fsize)
+    s_ref = _p2_stream(ref_p2.analogue, reference.ASFH, sig, bits=bits,
+                       srate=srate, ll=ll, fsize=fsize)
+    for label, stream in (("ours", s_our), ("reference", s_ref)):
+        ref_out = ref_decode(reference, stream)
+        our_out = ours_decode(stream)
+        assert our_out.shape == ref_out.shape, (label, bits, srate, fsize)
+        np.testing.assert_allclose(
+            our_out, ref_out, atol=1e-8,
+            err_msg=f"{label} P2 stream, bits={bits} srate={srate} "
+                    f"fsize={fsize} ll={ll}")
+
+
 def test_snr_parity_profile1(reference):
     """Our lossy encode must reach at least the reference's SNR on the
     same audio (BASELINE.json north star)."""
