@@ -793,3 +793,41 @@ class TestP0DeviceFastPath:
         out, _ = batch_decode(fast, compute_dtype="float32")
         # escalated frames decode losslessly at the deeper container
         np.testing.assert_allclose(out[: len(pcm3)], pcm3, rtol=1e-3)
+
+
+class TestLongStreamScale:
+    def test_minute_scale_stream_with_damage_and_repair(self):
+        """BASELINE config 5 at CI scale: a 60 s 48 kHz stereo stream
+        (~1.5k frames) through the sharded batch pipeline with ECC,
+        damaged within RS capacity, re-armored, and decoded — output
+        must equal the clean stream's decode, and the streaming
+        engines must agree with the batch path on the same bytes."""
+        from frad_python_tpu import Decoder
+        from frad_python_tpu.parallel import batch_repair
+        from frad_python_tpu.utils.damage import damage_stream
+
+        t = np.arange(60 * 48000) / 48000.0
+        pcm = np.stack([0.4 * np.sin(2 * np.pi * 220 * t),
+                        0.4 * np.sin(2 * np.pi * 331 * t)], axis=1) \
+            + 0.005 * rng.standard_normal((len(t), 2))
+        stream = batch_encode(pcm, 1, 48000, 16, 2048, enable_ecc=True,
+                              overlap_ratio=16, loss_level=0.5)
+        nframes = stream.count(b"\xff\xd0\xd2\x98")
+        assert nframes > 1400
+
+        damaged = damage_stream(stream)
+        repaired = batch_repair(damaged, (96, 24))
+        out_clean, sr = batch_decode(stream, fix_error=True)
+        out_rep, _ = batch_decode(repaired, fix_error=True)
+        assert sr == 48000
+        np.testing.assert_array_equal(out_rep, out_clean)
+
+        # streaming decoder over the repaired megastream, fed in 1 MiB
+        # chunks, agrees with the batch decode to the documented bound
+        d = Decoder(fix_error=True)
+        parts = [d.process(repaired[i:i + (1 << 20)]).pcm
+                 for i in range(0, len(repaired), 1 << 20)]
+        parts.append(d.flush().pcm)
+        got = np.concatenate([p for p in parts if p.size])
+        assert got.shape == out_clean.shape
+        np.testing.assert_allclose(got, out_clean, atol=1e-12)
